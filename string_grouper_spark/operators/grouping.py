@@ -1,0 +1,148 @@
+"""Iterative DataFrame connected components + group-representative selection.
+
+Replaces ``scipy.sparse.csgraph.connected_components``
+(/root/reference/string_grouper/string_grouper.py:851-904) with the
+alternating large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) expressed as pure DataFrame
+transforms in a driver loop — the one part of the engine Catalyst cannot
+express (SURVEY §4.2).  Converges in O(log n) rounds; every round is
+``localCheckpoint``-ed to cut lineage (at cluster scale, swap in a
+table-backed checkpoint via checkpoint.StageCheckpointer).
+
+Component label = minimum node id in the component — deterministic, so group
+ids are stable across partitionings and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import GROUP_REP_CENTROID, MatchConfig
+from .similarity import LEFT, RIGHT, SIM
+
+NODE = "node"
+COMPONENT = "component"
+
+
+def _canonical_undirected(edges: DataFrame) -> DataFrame:
+    """(u,v) multiset -> distinct unordered pairs as (hi=a > lo=b), no loops."""
+    u, v = F.col("u"), F.col("v")
+    return (
+        edges.select(F.greatest(u, v).alias("a"), F.least(u, v).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def _edge_fingerprint(edges: DataFrame) -> Tuple[int, int]:
+    # bit_xor instead of sum: overflow-proof under ANSI mode and order-free
+    row = edges.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+    ).first()
+    return row["n"], row["h"]
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each u: connect every strictly-larger neighbor to min(Γ(u) ∪ {u})."""
+    g = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    m = g.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    bigger = g.where(F.col("v") > F.col("u")).join(m, "u")
+    return _canonical_undirected(bigger.select(F.col("v").alias("u"), F.col("m").alias("v")))
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient high->low; connect all smaller neighbors (and self) to the min."""
+    m = edges.groupBy("a").agg(F.min("b").alias("m"))
+    j = edges.join(m, "a")
+    to_min = j.select(F.col("b").alias("u"), F.col("m").alias("v"))
+    center = m.select(F.col("a").alias("u"), F.col("m").alias("v"))
+    return _canonical_undirected(to_min.unionAll(center))
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: Optional[DataFrame] = None,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Edge list (any two numeric columns = endpoints) -> (node, component).
+
+    ``nodes``: optional 1-column DataFrame of all node ids; isolated nodes
+    become singleton components.  Component id = min node id in component.
+    """
+    ec = edges.columns
+    cur = _canonical_undirected(
+        edges.select(F.col(ec[0]).alias("u"), F.col(ec[1]).alias("v"))
+    ).localCheckpoint()
+
+    prev_fp = None
+    for _ in range(max_iterations):
+        cur = _small_star(_large_star(cur)).localCheckpoint()
+        fp = _edge_fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
+
+    # Fixed point is a union of stars: 'a' (hi) members point at 'b' = center.
+    # A center can appear on the 'b' side only.
+    members = cur.select(F.col("a").alias(NODE), F.col("b").alias(COMPONENT))
+    centers = cur.select(F.col("b").alias(NODE), F.col("b").alias(COMPONENT))
+    labels = members.unionAll(centers).groupBy(NODE).agg(F.min(COMPONENT).alias(COMPONENT))
+    if nodes is not None:
+        nc = nodes.columns[0]
+        singletons = nodes.select(F.col(nc).alias(NODE)).join(
+            labels, NODE, "left_anti"
+        ).withColumn(COMPONENT, F.col(NODE))
+        labels = labels.unionAll(singletons)
+    return labels
+
+
+def group_labels(
+    edges: DataFrame,
+    nodes: DataFrame,
+    cfg: MatchConfig,
+) -> DataFrame:
+    """Reference ``_deduplicate`` semantics (SG:851-904) on an edge DataFrame.
+
+    ``edges``: (master_side, dupe_side, similarity) edge MULTISET as produced
+    by the match pipeline after symmetrize (includes the diagonal).  Duplicate
+    entries contribute repeatedly to the centroid weight — exactly like the
+    reference's csr construction which sums duplicate (i,j) entries.
+
+    Returns (node, group_rep) where group_rep is the representative's row id:
+      * 'first'    -> smallest row id in the component (pandas transform('first')
+                      over position-ordered rows, SG:872-873)
+      * 'centroid' -> row with the largest similarity row-sum (SG:875-881);
+                      ties -> smallest row id (pandas idxmax keeps first max).
+    """
+    simple = edges.where(F.col(LEFT) != F.col(RIGHT)).select(
+        F.col(LEFT).alias("u"), F.col(RIGHT).alias("v")
+    )
+    comp = connected_components(simple, nodes)
+
+    if cfg.group_rep == GROUP_REP_CENTROID:
+        weights = edges.groupBy(LEFT).agg(F.sum(SIM).alias("_weight")).select(
+            F.col(LEFT).alias(NODE), "_weight"
+        )
+        ranked = comp.join(weights, NODE, "left").withColumn(
+            "_weight", F.coalesce(F.col("_weight"), F.lit(0.0))
+        )
+        order = [F.col("_weight").desc(), F.col(NODE).asc()]
+    else:
+        ranked = comp.withColumn("_weight", F.col(NODE))
+        order = [F.col(NODE).asc()]
+
+    w = Window.partitionBy(COMPONENT).orderBy(*order)
+    reps = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col(COMPONENT), F.col(NODE).alias("group_rep"))
+    )
+    return comp.join(reps, COMPONENT).select(NODE, "group_rep")

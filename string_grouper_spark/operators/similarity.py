@@ -1,0 +1,183 @@
+"""Cosine-similarity join — the engine's heart.
+
+Replaces the reference's C++ top-n sparse matmul ``sp_matmul_topn``
+(/root/reference/string_grouper/string_grouper.py:709-752) with an
+inverted-index equi-join over the posting tables:
+
+    sim(l, r) = sum over shared grams of w_l * w_r        (both L2-normalized)
+
+Plan shape (all built-in operators, whole-stage codegen end to end):
+
+    postings_l JOIN postings_r ON gram       -- shuffle on gram (skew point)
+      GROUP BY l, r: sum(w_l * w_r)          -- partial agg map-side first
+      FILTER sim >= min_similarity           -- threshold "pushdown" by construction
+      WINDOW row_number over (l ORDER BY sim DESC, r) <= max_n_matches
+
+The reference's blocking machinery (SG:734-752) is exactly Spark partitioning;
+its zip-merge invariant ("per-row top-n computed across all B-blocks") is the
+reason the top-n window runs AFTER the global aggregation, never per-partition
+— so results are partition-count invariant by construction (mirrors reference
+tests test_string_grouper.py:191-336).
+
+Scale notes (100 TB):
+  * The gram join is Zipf-skewed.  ``prune_hot_grams`` caps candidate
+    generation; exact re-scoring of surviving pairs never prunes.
+  * AQE skew-join splitting is assumed ON (set in session helper).
+  * For web-scale inputs use the LSH candidate generators
+    (operators/candidates.py) and re-score only candidates via
+    ``score_pairs`` below — the all-pairs gram join is the exact/small path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import MatchConfig
+from ..functions.tfidf import DOC, GRAM, W
+
+LEFT = "master_side"
+RIGHT = "dupe_side"
+SIM = "similarity"
+
+
+def prune_hot_grams(postings: DataFrame, max_df: int) -> DataFrame:
+    """Drop grams appearing in more than ``max_df`` docs (candidate gen only).
+
+    The reference has no analogue (dense matmul touches everything); at web
+    scale a gram like ``'the'`` would produce df^2 join rows.  Use ONLY for
+    candidate generation — recall accounting is the caller's job.
+    """
+    w = Window.partitionBy(GRAM)
+    return (
+        postings.withColumn("_df", F.count(F.lit(1)).over(w))
+        .where(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+
+
+def cosine_join(
+    postings_l: DataFrame,
+    postings_r: DataFrame,
+    min_similarity: float,
+    self_join: bool = False,
+) -> DataFrame:
+    """All-pairs sparse cosine via inverted-index join.
+
+    Returns (master_side, dupe_side, similarity) with sim >= min_similarity.
+    When ``self_join`` the caller passes the same postings twice; we keep all
+    ordered pairs l != r (the reference's C = A·Aᵀ has both directions; the
+    diagonal is repaired separately by ``symmetrize``).
+    """
+    l = postings_l.select(
+        F.col(DOC).alias(LEFT), F.col(GRAM).alias(GRAM), F.col(W).alias("_wl")
+    )
+    r = postings_r.select(
+        F.col(DOC).alias(RIGHT), F.col(GRAM).alias(GRAM), F.col(W).alias("_wr")
+    )
+    pairs = l.join(r, GRAM)
+    if self_join:
+        # compute each unordered pair once; mirror afterwards (halves the agg)
+        pairs = pairs.where(F.col(LEFT) < F.col(RIGHT))
+    sims = (
+        pairs.groupBy(LEFT, RIGHT)
+        .agg(F.sum(F.col("_wl") * F.col("_wr")).alias(SIM))
+        .where(F.col(SIM) >= float(min_similarity))
+    )
+    if self_join:
+        sims = sims.unionAll(
+            sims.select(F.col(RIGHT).alias(LEFT), F.col(LEFT).alias(RIGHT), F.col(SIM))
+        )
+    return sims
+
+
+def top_n_per_left(edges: DataFrame, max_n_matches: Optional[int]) -> DataFrame:
+    """Keep the top ``max_n_matches`` by similarity per master_side row.
+
+    Matches the kernel semantics (top_n per row of C = master x dupesᵀ,
+    SG:725-732).  Tie order: similarity desc then dupe index asc — the
+    deterministic ordering SURVEY §7.3 requires.  Runs AFTER the global
+    aggregation (zip-merge invariant) so it is partition-count invariant.
+    """
+    if max_n_matches is None:
+        return edges
+    w = Window.partitionBy(LEFT).orderBy(F.col(SIM).desc(), F.col(RIGHT).asc())
+    return (
+        edges.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(max_n_matches))
+        .drop("_rn")
+    )
+
+
+def symmetrize(edges: DataFrame, node_ids: DataFrame) -> DataFrame:
+    """Self-join repair (reference ``force_symmetries``, SG:419-427, 954-964).
+
+    * every node gets a diagonal edge sim(i,i)=1
+    * if (i,j) survived top-n pruning but (j,i) did not, restore it with the
+      same similarity.
+    ``node_ids`` is a 1-column DataFrame of doc ids (column name arbitrary).
+    """
+    idc = node_ids.columns[0]
+    diag = node_ids.select(
+        F.col(idc).alias(LEFT), F.col(idc).alias(RIGHT), F.lit(1.0).alias(SIM)
+    )
+    mirrored = edges.select(
+        F.col(RIGHT).alias(LEFT), F.col(LEFT).alias(RIGHT), F.col(SIM)
+    )
+    return (
+        edges.unionAll(mirrored)
+        .unionAll(diag)
+        .groupBy(LEFT, RIGHT)
+        .agg(F.max(SIM).alias(SIM))
+    )
+
+
+def complete_zero_matches(
+    edges: DataFrame, master_ids: DataFrame, dupe_ids: DataFrame
+) -> DataFrame:
+    """Zero-similarity completion (reference SG:765-781, include_zeroes).
+
+    Cross product of all id pairs minus matched pairs, similarity = 0.0.
+    Semantically cartesian — only sane at small scale, same as the reference
+    (which guards via max_n_matches; our pandas layer reproduces that guard).
+    """
+    mc, dc = master_ids.columns[0], dupe_ids.columns[0]
+    all_pairs = master_ids.select(F.col(mc).alias(LEFT)).crossJoin(
+        dupe_ids.select(F.col(dc).alias(RIGHT))
+    )
+    missing = all_pairs.join(edges.select(LEFT, RIGHT), [LEFT, RIGHT], "left_anti")
+    return edges.unionAll(missing.withColumn(SIM, F.lit(0.0)))
+
+
+def score_pairs(
+    candidates: DataFrame,
+    postings_l: DataFrame,
+    postings_r: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Exact cosine re-scoring of an explicit candidate-pair set.
+
+    ``candidates``: (master_side, dupe_side).  This is the scale path: LSH
+    generates candidates, this computes the exact TF-IDF cosine for just
+    those pairs.  Implementation: semi-join postings down to participating
+    docs, then join through the candidate edge list gram-by-gram.
+    """
+    postings_r = postings_r if postings_r is not None else postings_l
+    cand = candidates.select(LEFT, RIGHT).dropDuplicates([LEFT, RIGHT])
+    lp = postings_l.join(
+        cand.select(F.col(LEFT).alias(DOC)).distinct(), DOC, "left_semi"
+    ).select(F.col(DOC).alias(LEFT), GRAM, F.col(W).alias("_wl"))
+    rp = postings_r.join(
+        cand.select(F.col(RIGHT).alias(DOC)).distinct(), DOC, "left_semi"
+    ).select(F.col(DOC).alias(RIGHT), GRAM, F.col(W).alias("_wr"))
+    prods = (
+        cand.join(lp, LEFT)
+        .join(rp, [RIGHT, GRAM])
+        .groupBy(LEFT, RIGHT)
+        .agg(F.sum(F.col("_wl") * F.col("_wr")).alias(SIM))
+    )
+    # candidate pairs sharing no gram have similarity 0
+    return cand.join(prods, [LEFT, RIGHT], "left").withColumn(
+        SIM, F.coalesce(F.col(SIM), F.lit(0.0))
+    )

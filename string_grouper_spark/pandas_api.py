@@ -1,0 +1,506 @@
+"""Reference-compatible pandas API over the Spark engine.
+
+Drop-in equivalents of the reference's public surface
+(/root/reference/string_grouper/string_grouper.py:55-153 and the
+``StringGrouper`` class): same signatures, same validation errors, same output
+frames (column names, prefixes, index handling, dtypes) — but every similarity
+computation runs on Spark via ``operators.matching``.
+
+Output ASSEMBLY (prefixing, index columns, NaN fallbacks) happens in pandas on
+the collected edge list: the edge list is the small result, the heavy lifting
+(corpus fit, posting join, top-n, connected components) is distributed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .config import (
+    DEFAULT_COLUMN_NAME,
+    DEFAULT_ID_NAME,
+    DEFAULT_MASTER_ID_NAME,
+    DEFAULT_MASTER_NAME,
+    GROUP_REP_PREFIX,
+    LEFT_PREFIX,
+    MOST_SIMILAR_PREFIX,
+    RIGHT_PREFIX,
+    MatchConfig,
+)
+from .operators import matching
+from .operators.grouping import NODE, group_labels
+from .operators.similarity import LEFT, RIGHT, SIM
+
+
+class StringGrouperNotFitException(Exception):
+    """Raised when a function requiring a fitted grouper is called early."""
+
+
+def _require_fit(f):
+    from functools import wraps
+
+    @wraps(f)
+    def wrapper(self, *args, **kwargs):
+        if not self.is_build:
+            raise StringGrouperNotFitException(
+                f'{f.__name__} was called before the "fit" function was called. '
+                f"Make sure to run fit the StringGrouper first using StringGrouper.fit()"
+            )
+        return f(self, *args, **kwargs)
+
+    return wrapper
+
+
+def _is_series_of_strings(s) -> bool:
+    if not isinstance(s, pd.Series):
+        return False
+    return not s.map(lambda x: not isinstance(x, str)).any()
+
+
+class SparkStringGrouper:
+    """Stateful pipeline object mirroring the reference ``StringGrouper``
+    (SG:225-267): holds the fitted edge list; corpus reuse across calls is
+    achieved by re-running the (cheap, lazily-cached) Spark plan.
+    """
+
+    def __init__(
+        self,
+        master: pd.Series,
+        duplicates: Optional[pd.Series] = None,
+        master_id: Optional[pd.Series] = None,
+        duplicates_id: Optional[pd.Series] = None,
+        spark: Optional[SparkSession] = None,
+        **kwargs,
+    ):
+        self.is_build = False
+        self._spark = spark
+        self._matches_list: pd.DataFrame = pd.DataFrame()
+        self._true_max_n_matches = 0
+        self._config = MatchConfig.from_kwargs(**kwargs)
+        self._set_data(master, duplicates, master_id, duplicates_id)
+
+    # -- data/option management (reference SG:269-343) ----------------------
+    def _set_data(self, master, duplicates=None, master_id=None, duplicates_id=None):
+        if not _is_series_of_strings(master):
+            raise TypeError("Master input does not consist of pandas.Series containing only Strings")
+        if duplicates is not None and not _is_series_of_strings(duplicates):
+            raise TypeError("Duplicates input does not consist of pandas.Series containing only Strings")
+        if (duplicates is None and duplicates_id is not None) or (
+            duplicates is not None and ((master_id is None) ^ (duplicates_id is None))
+        ):
+            raise Exception("List of data Series options is invalid")
+        if master_id is not None and len(master) != len(master_id):
+            raise Exception("Both master and master_id must be pandas.Series of the same length.")
+        if duplicates is not None and duplicates_id is not None and len(duplicates) != len(duplicates_id):
+            raise Exception("Both duplicates and duplicates_id must be pandas.Series of the same length.")
+        self._master = master
+        self._duplicates = duplicates
+        self._master_id = master_id
+        self._duplicates_id = duplicates_id
+        self._validate_replace_na_levels()
+        self.is_build = False
+
+    def _validate_replace_na_levels(self):
+        if (
+            self._config.replace_na
+            and self._duplicates is not None
+            and self._master.index.nlevels != self._duplicates.index.nlevels
+        ):
+            raise Exception(
+                "replace_na=True: Cannot replace NaN values of index-columns with the values "
+                "of another index if the number of index-levels does not equal the number of "
+                "index-columns."
+            )
+
+    def reset_data(self, master, duplicates=None, master_id=None, duplicates_id=None):
+        self._set_data(master, duplicates, master_id, duplicates_id)
+
+    def clear_data(self):
+        self._master = None
+        self._duplicates = None
+        self._master_id = None
+        self._duplicates_id = None
+        self._matches_list = None
+        self.is_build = False
+
+    def update_options(self, **kwargs):
+        merged = {**self._config.__dict__}
+        new = MatchConfig.from_kwargs(**kwargs).__dict__
+        for k in kwargs:
+            merged[k] = new[k]
+        self._config = MatchConfig(**merged)
+        self._validate_replace_na_levels()
+        self.is_build = False
+
+    # -- Spark plumbing ------------------------------------------------------
+    @property
+    def spark(self) -> SparkSession:
+        if self._spark is None:
+            self._spark = SparkSession.getActiveSession()
+        if self._spark is None:
+            from .session import get_spark
+
+            self._spark = get_spark()
+        return self._spark
+
+    def _to_sdf(self, series: pd.Series):
+        pdf = pd.DataFrame(
+            {"row_id": np.arange(len(series), dtype=np.int64), "text": series.to_numpy()}
+        )
+        return self.spark.createDataFrame(pdf)
+
+    # -- fit (reference SG:380-431) -----------------------------------------
+    def fit(self) -> "SparkStringGrouper":
+        cfg = self._config
+        master_df = self._to_sdf(self._master)
+        self_join = self._duplicates is None
+        dupes_df = None if self_join else self._to_sdf(self._duplicates)
+
+        pre_sym = matching.match_edges(
+            master_df,
+            dupes_df,
+            cfg.evolve(force_symmetries=False),
+            n_master=len(self._master),
+            n_duplicates=None if self_join else len(self._duplicates),
+        )
+        pre_pdf = pre_sym.toPandas()
+        self._true_max_n_matches = (
+            int(pre_pdf.groupby(LEFT).size().max()) if len(pre_pdf) else 0
+        )
+        edges = pre_pdf
+        if self_join and cfg.force_symmetries:
+            # diagonal := exactly 1 for every row; edges symmetrized (SG:954-964)
+            off = edges[edges[LEFT] != edges[RIGHT]]
+            mirrored = off.rename(columns={LEFT: RIGHT, RIGHT: LEFT})
+            n = len(self._master)
+            diag = pd.DataFrame(
+                {LEFT: np.arange(n), RIGHT: np.arange(n), SIM: np.ones(n)}
+            )
+            edges = (
+                pd.concat([off, mirrored, diag], ignore_index=True)
+                .groupby([LEFT, RIGHT], as_index=False)[SIM]
+                .max()
+            )
+        order = [LEFT, RIGHT] if self_join else [LEFT, SIM, RIGHT]
+        asc = [True, True] if self_join else [True, False, True]
+        edges = edges.sort_values(order, ascending=asc, ignore_index=True)
+        self._matches_list = pd.DataFrame(
+            {
+                "master_side": edges[LEFT].astype(np.int64),
+                "dupe_side": edges[RIGHT].astype(np.int64),
+                "similarity": edges[SIM].astype(np.float64),
+            }
+        )
+        self.is_build = True
+        return self
+
+    # -- dot (reference SG:433-440) -----------------------------------------
+    def dot(self) -> pd.Series:
+        if len(self._master) != len(self._duplicates):
+            raise Exception("To perform this function, both input Series must have the same length.")
+        sdf1, sdf2 = self._to_sdf(self._master), self._to_sdf(self._duplicates)
+        out = matching.pairwise_similarities(
+            sdf1, sdf2, self._config,
+            n_master=len(self._master), n_duplicates=len(self._duplicates),
+        ).toPandas().sort_values("row_id")
+        return pd.Series(
+            out["similarity"].to_numpy(dtype=np.float64),
+            index=self._master.index,
+            name="similarity",
+        )
+
+    # -- get_matches (reference SG:442-518) ---------------------------------
+    def _get_non_matches_list(self) -> pd.DataFrame:
+        m_sz = len(self._master)
+        d_sz = len(self._master if self._duplicates is None else self._duplicates)
+        all_pairs = pd.MultiIndex.from_product(
+            [range(m_sz), range(d_sz)], names=["master_side", "dupe_side"]
+        )
+        matched = pd.MultiIndex.from_frame(self._matches_list[["master_side", "dupe_side"]])
+        missing = all_pairs.difference(matched)
+        if missing.empty:
+            return pd.DataFrame()
+        if self._config.max_n_matches < self._true_max_n_matches:
+            raise Exception(
+                f"\nERROR: Cannot return zero-similarity matches since \n"
+                f"\t\t max_n_matches={self._config.max_n_matches} is too small!\n"
+                f"\t\t Try setting max_n_matches={self._true_max_n_matches} (the \n"
+                f"\t\t true maximum number of matches over all strings in master)\n"
+                f"\t\t or greater or do not set this kwarg at all."
+            )
+        out = missing.to_frame(index=False)
+        out["similarity"] = 0
+        return out
+
+    @_require_fit
+    def get_matches(
+        self,
+        ignore_index: Optional[bool] = None,
+        include_zeroes: Optional[bool] = None,
+    ) -> pd.DataFrame:
+        cfg = self._config
+        if ignore_index is None:
+            ignore_index = cfg.ignore_index
+        if include_zeroes is None:
+            include_zeroes = cfg.include_zeroes
+
+        if cfg.min_similarity > 0 or not include_zeroes:
+            matches_list = self._matches_list
+        else:
+            non_matches = self._get_non_matches_list()
+            matches_list = (
+                self._matches_list
+                if non_matches.empty
+                else pd.concat([self._matches_list, non_matches], axis=0, ignore_index=True)
+            )
+
+        def get_both_sides(master, duplicates, generic_name=(DEFAULT_COLUMN_NAME, DEFAULT_COLUMN_NAME), drop_index=False):
+            lname, rname = generic_name
+            left = master if master.name else master.rename(lname)
+            left = left.iloc[matches_list.master_side].reset_index(drop=drop_index)
+            if self._duplicates is None:
+                right = master if master.name else master.rename(rname)
+            else:
+                right = duplicates if duplicates.name else duplicates.rename(rname)
+            right = right.iloc[matches_list.dupe_side].reset_index(drop=drop_index)
+            return left, (right if isinstance(right, pd.Series) else right[right.columns[::-1]])
+
+        def prefix(data, p):
+            if isinstance(data, pd.DataFrame):
+                return data.rename(columns={c: f"{p}{c}" for c in data.columns})
+            return data.rename(f"{p}{data.name}")
+
+        left_side, right_side = get_both_sides(self._master, self._duplicates, drop_index=ignore_index)
+        similarity = matches_list.similarity.reset_index(drop=True)
+        if self._master_id is None:
+            return pd.concat(
+                [prefix(left_side, LEFT_PREFIX), similarity, prefix(right_side, RIGHT_PREFIX)],
+                axis=1,
+            )
+        left_id, right_id = get_both_sides(
+            self._master_id, self._duplicates_id, (DEFAULT_ID_NAME, DEFAULT_ID_NAME), drop_index=True
+        )
+        return pd.concat(
+            [
+                prefix(left_side, LEFT_PREFIX),
+                prefix(left_id, LEFT_PREFIX),
+                similarity,
+                prefix(right_id, RIGHT_PREFIX),
+                prefix(right_side, RIGHT_PREFIX),
+            ],
+            axis=1,
+        )
+
+    # -- get_groups (reference SG:520-544) ----------------------------------
+    @_require_fit
+    def get_groups(
+        self,
+        ignore_index: Optional[bool] = None,
+        replace_na: Optional[bool] = None,
+    ) -> Union[pd.DataFrame, pd.Series]:
+        cfg = self._config
+        if ignore_index is None:
+            ignore_index = cfg.ignore_index
+        if self._duplicates is None:
+            return self._deduplicate(ignore_index=ignore_index)
+        if replace_na is None:
+            replace_na = cfg.replace_na
+        return self._get_nearest_matches(ignore_index=ignore_index, replace_na=replace_na)
+
+    def _deduplicate(self, ignore_index=False) -> Union[pd.DataFrame, pd.Series]:
+        """Reference SG:851-904 — components + rep selection run ON SPARK
+        (iterative large-star/small-star CC, window argmax), assembly in pandas."""
+        n = len(self._master)
+        edges_sdf = self.spark.createDataFrame(
+            self._matches_list.rename(
+                columns={"master_side": LEFT, "dupe_side": RIGHT, "similarity": SIM}
+            )
+        ) if len(self._matches_list) else self.spark.createDataFrame(
+            pd.DataFrame({LEFT: pd.Series(dtype=np.int64), RIGHT: pd.Series(dtype=np.int64), SIM: pd.Series(dtype=np.float64)})
+        )
+        nodes = self.spark.range(n).select(F.col("id").alias("row_id"))
+        labels = group_labels(edges_sdf, nodes, self._config).toPandas().sort_values(NODE)
+        rep = labels.set_index(NODE)["group_rep"].reindex(range(n)).to_numpy()
+
+        prefix = GROUP_REP_PREFIX
+        label = f"{prefix}{self._master.name}" if self._master.name else prefix[:-1]
+        output = self._master.iloc[rep].rename(label).reset_index(drop=ignore_index)
+        if isinstance(output, pd.DataFrame):
+            output.rename(
+                columns={c: f"{prefix}{c}" for c in output.columns if str(c) != label},
+                inplace=True,
+            )
+        if self._master_id is not None:
+            id_label = f"{prefix}{self._master_id.name if self._master_id.name else DEFAULT_ID_NAME}"
+            output_id = self._master_id.iloc[rep].rename(id_label).reset_index(drop=True)
+            output = pd.concat([output_id, output], axis=1)
+        output.index = self._master.index
+        return output
+
+    def _get_nearest_matches(self, ignore_index=False, replace_na=False):
+        """Reference SG:783-849, faithful pandas re-implementation over the
+        collected edge list (argmax + min-master tie-break + fallbacks)."""
+        prefix = MOST_SIMILAR_PREFIX
+        master_label = f"{prefix}{self._master.name if self._master.name else DEFAULT_MASTER_NAME}"
+        master = self._master.rename(master_label).reset_index(drop=ignore_index)
+        dupes = self._duplicates.rename("duplicates").reset_index(drop=ignore_index)
+
+        if isinstance(dupes, pd.DataFrame):
+            master.rename(
+                columns={col: f"{prefix}{col}" for col in master.columns if str(col) != master_label},
+                inplace=True,
+            )
+
+        if self._master_id is not None:
+            master_id_label = f"{prefix}{self._master_id.name if self._master_id.name else DEFAULT_MASTER_ID_NAME}"
+            master = pd.concat([master, self._master_id.rename(master_id_label).reset_index(drop=True)], axis=1)
+            dupes = pd.concat([dupes, self._duplicates_id.rename("duplicates_id").reset_index(drop=True)], axis=1)
+
+        dupes_max_sim = self._matches_list.groupby("dupe_side").agg({"similarity": "max"}).reset_index()
+        dupes_max_sim = dupes_max_sim.merge(self._matches_list, on=["dupe_side", "similarity"])
+        dupes_max_sim = dupes_max_sim.groupby(["dupe_side"]).agg({"master_side": "min"}).reset_index()
+        dupes_max_sim = dupes_max_sim.merge(dupes, left_on="dupe_side", right_index=True, how="outer")
+        dupes_max_sim = dupes_max_sim.merge(master, left_on="master_side", right_index=True, how="left")
+
+        rows_to_update = dupes_max_sim[master_label].isnull()
+        dupes_max_sim.loc[rows_to_update, master_label] = dupes_max_sim[rows_to_update].duplicates
+        if self._master_id is not None:
+            dupes_max_sim.loc[rows_to_update, master_id_label] = dupes_max_sim[rows_to_update].duplicates_id
+            if (
+                dupes_max_sim[master_id_label].dtype != self._master_id.dtype
+                and self._duplicates_id.dtype == self._master_id.dtype
+            ):
+                dupes_max_sim.loc[:, master_id_label] = dupes_max_sim.loc[:, master_id_label].astype(
+                    self._master_id.dtype
+                )
+
+        required = [master_label] if self._master_id is None else [master_id_label, master_label]
+        index_cols = (
+            [c for c in master.columns if c not in required] if isinstance(master, pd.DataFrame) else []
+        )
+        if replace_na:
+            dupes_index_cols = [c for c in dupes.columns if str(c) != "duplicates"]
+            dupes_max_sim.loc[rows_to_update, index_cols] = dupes_max_sim.loc[
+                rows_to_update, dupes_index_cols
+            ].values
+            for m, d in zip(index_cols, dupes_index_cols):
+                if dupes_max_sim[m].dtype != master[m].dtype and dupes[d].dtype == master[m].dtype:
+                    dupes_max_sim.loc[:, m] = dupes_max_sim.loc[:, m].astype(master[m].dtype)
+
+        dupes_max_sim = dupes_max_sim.sort_values("dupe_side").set_index("dupe_side")
+        output = dupes_max_sim[index_cols + required]
+        output.index = self._duplicates.index
+        return output.squeeze(axis=1)
+
+    # -- manual edge edits (reference SG:646-683) ---------------------------
+    def _get_indices_of(self, master_side: str, dupe_side: str) -> Tuple[pd.Series, pd.Series]:
+        master_strings = self._master
+        dupe_strings = self._master if self._duplicates is None else self._duplicates
+        if not master_strings.isin([master_side]).any():
+            raise ValueError(f"{master_side} not found in StringGrouper string series")
+        if not dupe_strings.isin([dupe_side]).any():
+            raise ValueError(f"{dupe_side} not found in StringGrouper dupe string series")
+        master_indices = master_strings.index[master_strings == master_side].to_series().reset_index(drop=True)
+        dupe_indices = dupe_strings.index[dupe_strings == dupe_side].to_series().reset_index(drop=True)
+        # convert labels to positions (reference uses positional RangeIndex)
+        master_pos = pd.Series(
+            [master_strings.index.get_loc(i) for i in master_indices], dtype=np.int64
+        )
+        dupe_pos = pd.Series([dupe_strings.index.get_loc(i) for i in dupe_indices], dtype=np.int64)
+        return master_pos, dupe_pos
+
+    @_require_fit
+    def add_match(self, master_side: str, dupe_side: str) -> "SparkStringGrouper":
+        master_indices, dupe_indices = self._get_indices_of(master_side, dupe_side)
+        prior = self._matches_list.master_side[self._matches_list.dupe_side.isin(dupe_indices)]
+        dupe_indices = pd.concat([dupe_indices, prior]).drop_duplicates()
+        idx = pd.MultiIndex.from_product(
+            [master_indices, dupe_indices, [1.0]], names=["master_side", "dupe_side", "similarity"]
+        )
+        new_matches = pd.DataFrame(index=idx).reset_index()
+        if self._duplicates is None:
+            swapped = pd.DataFrame(
+                {
+                    "master_side": new_matches.dupe_side,
+                    "dupe_side": new_matches.master_side,
+                    "similarity": new_matches.similarity,
+                }
+            )
+            new_matches = pd.concat([new_matches, swapped])
+        self._matches_list = pd.concat(
+            [self._matches_list.drop_duplicates(), new_matches], ignore_index=True
+        )
+        return self
+
+    @_require_fit
+    def remove_match(self, master_side: str, dupe_side: str) -> "SparkStringGrouper":
+        master_indices, dupe_indices = self._get_indices_of(master_side, dupe_side)
+        if self._duplicates is None:
+            master_indices = pd.concat([master_indices, dupe_indices])
+            dupe_indices = master_indices
+        ml = self._matches_list
+        self._matches_list = ml[
+            ~(ml.master_side.isin(master_indices) & ml.dupe_side.isin(dupe_indices))
+        ]
+        return self
+
+    # -- corpus-reuse convenience methods (reference SG:546-644) ------------
+    def match_strings(self, master, duplicates=None, master_id=None, duplicates_id=None, **kwargs):
+        self.reset_data(master, duplicates, master_id, duplicates_id)
+        if kwargs:
+            self.update_options(**kwargs)
+        self.fit()
+        return self.get_matches()
+
+    def match_most_similar(self, master, duplicates, master_id=None, duplicates_id=None, **kwargs):
+        self.reset_data(master, duplicates, master_id, duplicates_id)
+        kwargs["max_n_matches"] = 1
+        self.update_options(**kwargs)
+        self.fit()
+        return self.get_groups()
+
+    def group_similar_strings(self, strings_to_group, string_ids=None, **kwargs):
+        self.reset_data(strings_to_group, master_id=string_ids)
+        if kwargs:
+            self.update_options(**kwargs)
+        self.fit()
+        return self.get_groups()
+
+    def compute_pairwise_similarities(self, string_series_1, string_series_2, **kwargs):
+        self.reset_data(string_series_1, string_series_2)
+        if kwargs:
+            self.update_options(**kwargs)
+        return self.dot()
+
+
+# Alias so reference code reading ``StringGrouper`` ports unchanged.
+StringGrouper = SparkStringGrouper
+
+
+# -- module-level high-level functions (reference SG:55-153) ----------------
+def compute_pairwise_similarities(string_series_1, string_series_2, **kwargs) -> pd.Series:
+    return SparkStringGrouper(string_series_1, string_series_2, **kwargs).dot()
+
+
+def group_similar_strings(strings_to_group, string_ids=None, **kwargs):
+    sg = SparkStringGrouper(strings_to_group, master_id=string_ids, **kwargs).fit()
+    return sg.get_groups()
+
+
+def match_most_similar(master, duplicates, master_id=None, duplicates_id=None, **kwargs):
+    kwargs["max_n_matches"] = 1
+    sg = SparkStringGrouper(
+        master, duplicates=duplicates, master_id=master_id, duplicates_id=duplicates_id, **kwargs
+    ).fit()
+    return sg.get_groups()
+
+
+def match_strings(master, duplicates=None, master_id=None, duplicates_id=None, **kwargs) -> pd.DataFrame:
+    sg = SparkStringGrouper(
+        master, duplicates=duplicates, master_id=master_id, duplicates_id=duplicates_id, **kwargs
+    ).fit()
+    return sg.get_matches()

@@ -1,0 +1,55 @@
+"""Tokenizer goldens (reference test_string_grouper.py:495-517)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from string_grouper_spark.config import MatchConfig
+from string_grouper_spark.functions.normalize import (
+    ngrams_expr,
+    normalize_expr,
+    py_ngrams,
+)
+
+
+def spark_ngrams(spark, s: str, cfg: MatchConfig):
+    df = spark.createDataFrame(pd.DataFrame({"text": [s]}))
+    normed = df.select(normalize_expr(F.col("text"), cfg).alias("n"))
+    row = normed.select(ngrams_expr(F.col("n"), cfg.ngram_size).alias("g")).first()
+    return row["g"]
+
+
+def test_mcdonalds_ignore_case(spark):
+    cfg = MatchConfig()
+    expected = ["mcd", "cdo", "don", "ona", "nal", "ald", "lds"]
+    assert spark_ngrams(spark, "McDonalds", cfg) == expected
+    assert py_ngrams("McDonalds", cfg) == expected
+
+
+def test_mcdonalds_case_kept(spark):
+    cfg = MatchConfig(ignore_case=False)
+    expected = ["McD", "cDo", "Don", "ona", "nal", "ald", "lds"]
+    assert spark_ngrams(spark, "McDonalds", cfg) == expected
+    assert py_ngrams("McDonalds", cfg) == expected
+
+
+def test_regex_strip_and_short_strings(spark):
+    cfg = MatchConfig()
+    # default regex [,-./]|\s strips ',', '-', '.', '/', whitespace
+    assert spark_ngrams(spark, "a,b-c.d/e f", cfg) == ["abc", "bcd", "cde", "def"]
+    # too short after stripping -> no grams (sklearn zero-row)
+    assert spark_ngrams(spark, "a-b", cfg) == []
+    assert spark_ngrams(spark, "", cfg) == []
+
+
+def test_nfkd_ascii_fold(spark):
+    cfg = MatchConfig()
+    # é NFKD-decomposes to e + combining accent; accent is non-ASCII -> dropped
+    assert spark_ngrams(spark, "Café", cfg) == ["caf", "afe"]
+    assert py_ngrams("Café", cfg) == ["caf", "afe"]
+
+
+def test_spark_matches_python_on_unicode_zoo(spark):
+    cfg = MatchConfig()
+    samples = ["ＭｃＤｏｎａｌｄｓ", "ﬁne", "Ångström", "ab cd", "ßharp"]
+    for s in samples:
+        assert spark_ngrams(spark, s, cfg) == py_ngrams(s, cfg), s

@@ -1,38 +1,355 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface over the driver's
+testdata tables; ``oracle_sql()`` mirrors each query in ANSI SQL for DuckDB.
+Float outputs are rounded to 6 decimals on BOTH sides so value-hashes match
+despite summation-order differences between engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from string_grouper_spark.config import MatchConfig  # noqa: E402
+from string_grouper_spark.functions.tfidf import tfidf_postings  # noqa: E402
+from string_grouper_spark.operators import dedup as dedup_ops  # noqa: E402
+from string_grouper_spark.operators import group_rep as rep_ops  # noqa: E402
+from string_grouper_spark.operators.matching import pairwise_similarities  # noqa: E402
+from string_grouper_spark.operators.similarity import LEFT, RIGHT, SIM  # noqa: E402
+
+# Large enough to disable top-n truncation for oracle-checked queries
+NO_TOPN = 1_000_000
+R = 6  # rounding digits for float outputs
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _cfg(min_sim: float) -> MatchConfig:
+    return MatchConfig(min_similarity=min_sim, max_n_matches=NO_TOPN)
+
+
+# --------------------------------------------------------------------------
+# Spark queries
+# --------------------------------------------------------------------------
+
+def q_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/C1: exact TF-IDF cosine self-join over documents, sim >= 0.5."""
+    pairs = dedup_ops.near_duplicate_pairs(_docs(spark, sf_dir), _cfg(0.5))
+    return pairs.select(
+        F.col(LEFT).alias("left_id"),
+        F.col(RIGHT).alias("right_id"),
+        F.round(SIM, R).alias("sim_r"),
+    )
+
+
+def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: connected components of the 0.5-similarity graph (min-id label)."""
+    labels = dedup_ops.components_only(_docs(spark, sf_dir), _cfg(0.5))
+    return labels.select(F.col("node").alias("doc_id"), F.col("component").alias("component"))
+
+
+def q_groups_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: group_similar_strings semantics — centroid representative per doc."""
+    labels = dedup_ops.near_duplicate_clusters(_docs(spark, sf_dir), _cfg(0.5))
+    return labels.select(F.col("node").alias("doc_id"), F.col("group_rep").alias("group_rep"))
+
+
+def q_most_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/D2: per-duplicate argmax join (masters: doc_id<250, dupes: >=250).
+
+    Mirrors the reference quirk of pruning to top-1 per MASTER first
+    (SG:120), then argmax per duplicate with min-master tie-break — both
+    windows computed on 6-dp-rounded similarity so the oracle tie-breaks
+    identically.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    masters = docs.where(F.col("doc_id") < 250).select(
+        F.col("doc_id").alias("row_id"), "text"
+    )
+    dupes = docs.where(F.col("doc_id") >= 250).select(
+        F.col("doc_id").alias("row_id"), "text"
+    )
+    p_m, p_d, _ = tfidf_postings(masters, dupes, MatchConfig())
+    from string_grouper_spark.operators.similarity import cosine_join
+
+    sims = cosine_join(p_m, p_d, 0.5).withColumn("_s", F.round(SIM, R))
+    w1 = Window.partitionBy(LEFT).orderBy(F.col("_s").desc(), F.col(RIGHT).asc())
+    top1 = sims.withColumn("_rn", F.row_number().over(w1)).where(F.col("_rn") == 1).drop("_rn")
+    w2 = Window.partitionBy(RIGHT).orderBy(F.col("_s").desc(), F.col(LEFT).asc())
+    best = top1.withColumn("_rn", F.row_number().over(w2)).where(F.col("_rn") == 1)
+    return best.select(
+        F.col(RIGHT).alias("dupe_id"),
+        F.col(LEFT).alias("master_id"),
+        F.col("_s").alias("sim_r"),
+    )
+
+
+def q_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: row-aligned cosine of doc i (i<250) with doc i+250."""
+    docs = _docs(spark, sf_dir)
+    s1 = docs.where(F.col("doc_id") < 250).select(F.col("doc_id").alias("row_id"), "text")
+    s2 = docs.where(F.col("doc_id") >= 250).select(
+        (F.col("doc_id") - 250).alias("row_id"), "text"
+    )
+    out = pairwise_similarities(s1, s2, MatchConfig())
+    return out.select(F.col("row_id").alias("pair_id"), F.round(SIM, R).alias("sim_r"))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via md5 content hash (duplicated contents only)."""
+    return dedup_ops.exact_duplicate_groups(_docs(spark, sf_dir)).select(
+        "content_hash", "n_docs", "keep_id"
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: char/token counts + avg token length per doc."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_txt"),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", r"\s+", "")) / F.size(toks), R
+        ).alias("avg_token_len"),
+    )
+
+
+def q_group_rep_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: earliest-timestamp representative per customer over orders."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = rep_ops.group_rep_by_earliest_timestamp(
+        orders, "o_custkey", "o_orderkey", "o_orderdate", pos_col="o_orderkey"
+    )
+    return out.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("new_o_orderkey").alias("rep_orderkey"),
+    ).dropDuplicates(["custkey", "rep_orderkey"])
+
+
+def q_group_rep_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: highest-weight representative per nation over customers."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = rep_ops.group_rep_by_highest_weight(
+        cust, "c_nationkey", "c_custkey", "c_acctbal", pos_col="c_custkey"
+    )
+    return out.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("new_c_custkey").alias("rep_custkey"),
+    ).dropDuplicates(["nationkey", "rep_custkey"])
+
+
+def q_group_rep_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: completeness representative per event_type over events (props may
+    be null/empty); tie-break = first row (min event_id)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = rep_ops.group_rep_by_completeness(
+        events, "event_type", "event_id", ["user_id", "value", "props"], pos_col="event_id"
+    )
+    return out.select(
+        F.col("event_type"), F.col("new_event_id").alias("rep_event_id")
+    ).dropDuplicates(["event_type", "rep_event_id"])
+
+
+# --------------------------------------------------------------------------
+# Driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full near-dup clustering of sf0.001 documents."""
+    sf_dir = "/root/testdata/sf0.001"
+    labels = dedup_ops.near_duplicate_clusters(_docs(spark, sf_dir), _cfg(0.5))
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("group_rep").alias("group_rep")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "match_pairs": q_match_pairs,
+        "components": q_components,
+        "groups_centroid": q_groups_centroid,
+        "most_similar": q_most_similar,
+        "pairwise": q_pairwise,
+        "exact_dedup": q_exact_dedup,
+        "token_stats": q_token_stats,
+        "group_rep_earliest": q_group_rep_earliest,
+        "group_rep_weight": q_group_rep_weight,
+        "group_rep_completeness": q_group_rep_completeness,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+# Shared TF-IDF prelude over the full documents table (sklearn formula:
+# idf = ln((1+N)/(1+df)) + 1, L2 per doc) — mirrors functions/tfidf.py.
+_TFIDF_PRELUDE = r"""
+WITH docs AS (
+  SELECT doc_id, regexp_replace(lower(text), '[,-./]|\s', '', 'g') AS norm
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, substring(norm, i, 3) AS gram
+  FROM docs, LATERAL (SELECT unnest(generate_series(1, length(norm)-2)) AS i) t
+  WHERE length(norm) >= 3
+),
+tf AS (SELECT doc_id, gram, count(*)::DOUBLE AS tf FROM grams GROUP BY 1,2),
+dfreq AS (SELECT gram, count(DISTINCT doc_id)::DOUBLE AS df FROM grams GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM docs),
+w AS (
+  SELECT tf.doc_id, tf.gram, tf.tf * (ln((1+n.n)/(1+dfreq.df))+1) AS w
+  FROM tf JOIN dfreq USING (gram) CROSS JOIN n
+),
+l2 AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY 1),
+p AS (SELECT w.doc_id, w.gram, w.w/l2.nrm AS wn FROM w JOIN l2 USING (doc_id)),
+simpairs AS (
+  SELECT a.doc_id AS l, b.doc_id AS r, sum(a.wn*b.wn) AS s
+  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING sum(a.wn*b.wn) >= 0.5
+)
+"""
+
+_COMPONENTS_CTES = r"""
+, sym AS (
+  SELECT l AS u, r AS v FROM simpairs
+  UNION ALL SELECT r, l FROM simpairs
+), closure AS (
+  WITH RECURSIVE reach(src, dst) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT reach.src, sym.v FROM reach JOIN sym ON reach.dst = sym.u
+  ) SELECT * FROM reach
+), comp AS (
+  SELECT d.doc_id, least(d.doc_id, coalesce(min(c.dst), d.doc_id)) AS component
+  FROM docs d LEFT JOIN closure c ON c.src = d.doc_id
+  GROUP BY d.doc_id
+)
+"""
+
+_ORACLES: dict[str, str] = {}
+
+_ORACLES["match_pairs"] = (
+    _TFIDF_PRELUDE
+    + "SELECT l AS left_id, r AS right_id, round(s, 6) AS sim_r FROM simpairs"
+)
+
+_ORACLES["components"] = (
+    _TFIDF_PRELUDE + _COMPONENTS_CTES + "SELECT doc_id, component FROM comp"
+)
+
+_ORACLES["groups_centroid"] = (
+    _TFIDF_PRELUDE
+    + _COMPONENTS_CTES
+    + r"""
+, weights AS (
+  -- centroid weight = similarity row-sum incl. repaired diagonal (=1.0)
+  SELECT d.doc_id, 1.0 + coalesce(sum(e.s), 0) AS wt
+  FROM docs d
+  LEFT JOIN (
+    SELECT l AS src, s FROM simpairs UNION ALL SELECT r AS src, s FROM simpairs
+  ) e ON e.src = d.doc_id
+  GROUP BY d.doc_id
+), ranked AS (
+  SELECT comp.doc_id, comp.component, weights.wt,
+         row_number() OVER (PARTITION BY comp.component
+                            ORDER BY weights.wt DESC, comp.doc_id ASC) AS rn
+  FROM comp JOIN weights USING (doc_id)
+)
+SELECT comp.doc_id, reps.doc_id AS group_rep
+FROM comp JOIN (SELECT component, doc_id FROM ranked WHERE rn = 1) reps
+  USING (component)
+"""
+)
+
+_ORACLES["most_similar"] = (
+    _TFIDF_PRELUDE.replace("AND a.doc_id < b.doc_id", "AND a.doc_id < 250 AND b.doc_id >= 250")
+    + r"""
+, rounded AS (SELECT l, r, round(s, 6) AS sr FROM simpairs),
+top1 AS (
+  SELECT l, r, sr,
+         row_number() OVER (PARTITION BY l ORDER BY sr DESC, r ASC) AS rn1
+  FROM rounded
+), best AS (
+  SELECT l, r, sr,
+         row_number() OVER (PARTITION BY r ORDER BY sr DESC, l ASC) AS rn2
+  FROM top1 WHERE rn1 = 1
+)
+SELECT r AS dupe_id, l AS master_id, sr AS sim_r FROM best WHERE rn2 = 1
+"""
+)
+
+_ORACLES["pairwise"] = (
+    _TFIDF_PRELUDE.replace(
+        "AND a.doc_id < b.doc_id",
+        "AND b.doc_id = a.doc_id + 250 AND a.doc_id < 250",
+    ).replace("HAVING sum(a.wn*b.wn) >= 0.5", "")
+    + r"""
+SELECT d.doc_id AS pair_id, round(coalesce(sp.s, 0.0), 6) AS sim_r
+FROM docs d LEFT JOIN simpairs sp ON sp.l = d.doc_id
+WHERE d.doc_id < 250
+"""
+)
+
+_ORACLES["exact_dedup"] = r"""
+SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+_ORACLES["token_stats"] = r"""
+SELECT doc_id,
+       length(text) AS n_chars_txt,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       round(length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+             / len(regexp_split_to_array(trim(text), '\s+')), 6) AS avg_token_len
+FROM documents
+"""
+
+_ORACLES["group_rep_earliest"] = r"""
+SELECT DISTINCT o_custkey AS custkey,
+       first_value(o_orderkey) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+       ) AS rep_orderkey
+FROM orders
+"""
+
+_ORACLES["group_rep_weight"] = r"""
+SELECT DISTINCT c_nationkey::BIGINT AS nationkey,
+       first_value(c_custkey) OVER (
+         PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC
+       ) AS rep_custkey
+FROM customer
+"""
+
+_ORACLES["group_rep_completeness"] = r"""
+WITH scored AS (
+  SELECT event_type, event_id,
+         (CASE WHEN user_id IS NOT NULL AND user_id::VARCHAR != '' THEN 1 ELSE 0 END
+          + CASE WHEN value IS NOT NULL AND value::VARCHAR != '' THEN 1 ELSE 0 END
+          + CASE WHEN props IS NOT NULL AND props != '' THEN 1 ELSE 0 END) AS filled
+  FROM events
+)
+SELECT DISTINCT event_type,
+       first_value(event_id) OVER (
+         PARTITION BY event_type ORDER BY filled DESC, event_id ASC
+       ) AS rep_event_id
+FROM scored
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,98 @@
+"""Document-level dedup pipelines over a (doc_id, text) DataFrame.
+
+These are the engine's "training-data pipeline" entry points: exact dedup,
+exact-TFIDF near-dup pairs, and clustering — each a thin composition of the
+core operators, returning DataFrames (nothing collected).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import MatchConfig
+from .grouping import group_labels
+from .matching import match_edges
+from .similarity import LEFT, RIGHT, SIM
+
+
+def exact_duplicate_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via content hash; one row per duplicated content.
+
+    Returns (content_hash, n_docs, keep_id) where keep_id is the smallest
+    doc id (the canonical survivor).  Pure groupBy — one shuffle, map-side
+    partial aggregation, no joins.
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col).alias("_id"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("_id").alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def near_duplicate_pairs(
+    docs: DataFrame,
+    cfg: Optional[MatchConfig] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: Optional[int] = None,
+) -> DataFrame:
+    """Exact TF-IDF cosine self-join; unordered pairs (left < right).
+
+    Returns (master_side, dupe_side, similarity) with master_side < dupe_side.
+    """
+    cfg = cfg or MatchConfig()
+    edges = match_edges(
+        docs.select(F.col(id_col).alias("row_id"), F.col(text_col).alias("text")),
+        None,
+        cfg.evolve(force_symmetries=False),
+        n_master=n_docs,
+    )
+    return edges.where(F.col(LEFT) < F.col(RIGHT))
+
+
+def near_duplicate_clusters(
+    docs: DataFrame,
+    cfg: Optional[MatchConfig] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: Optional[int] = None,
+) -> DataFrame:
+    """Full dedup pipeline: match -> symmetrize -> CC -> representative.
+
+    Returns (node, group_rep): every doc labeled with its cluster's
+    representative doc id (reference group_similar_strings semantics).
+    """
+    cfg = cfg or MatchConfig()
+    ids = docs.select(F.col(id_col).alias("row_id"))
+    edges = match_edges(
+        docs.select(F.col(id_col).alias("row_id"), F.col(text_col).alias("text")),
+        None,
+        cfg,  # force_symmetries per config: diagonal + mirror repair
+        n_master=n_docs,
+    )
+    return group_labels(edges, ids, cfg)
+
+
+def components_only(
+    docs: DataFrame,
+    cfg: Optional[MatchConfig] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: Optional[int] = None,
+) -> DataFrame:
+    """(node, component) labels where component = min doc id in cluster —
+    the deterministic integer labeling (no float-weighted rep selection)."""
+    from .grouping import connected_components
+
+    cfg = cfg or MatchConfig()
+    pairs = near_duplicate_pairs(docs, cfg, text_col, id_col, n_docs)
+    nodes = docs.select(F.col(id_col))
+    return connected_components(
+        pairs.select(F.col(LEFT).alias("u"), F.col(RIGHT).alias("v")), nodes
+    )

@@ -163,6 +163,66 @@ def q_group_rep_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).dropDuplicates(["event_type", "rep_event_id"])
 
 
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-3-gram Jaccard similarity join, jac >= 0.5."""
+    from string_grouper_spark.operators.candidates import jaccard_pairs
+
+    out = jaccard_pairs(_docs(spark, sf_dir), MatchConfig(), min_jaccard=0.5)
+    return out.select(
+        F.col(LEFT).alias("left_id"),
+        F.col(RIGHT).alias("right_id"),
+        F.round("jaccard", R).alias("jac_r"),
+    )
+
+
+def q_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-window substring-containment pass (exact, verified)."""
+    from string_grouper_spark.operators.candidates import substring_containment
+
+    return substring_containment(_docs(spark, sf_dir), MatchConfig(), anchor_len=16)
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from string_grouper_spark.functions.text_stats import language_id
+
+    return language_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from string_grouper_spark.functions.text_stats import quality_score
+
+    return quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "alpha_ratio", "punct_ratio", "stopword_rate", "quality_score"
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint, md5 variant (hex strings — mirrorable in SQL;
+    the engine's default uses xxhash64 which DuckDB lacks)."""
+    docs = _docs(spark, sf_dir)
+    k = 9
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    windows = F.when(
+        F.length(norm) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (k - 1)),
+            lambda i: F.md5(F.substring(norm, i, k)),
+        ),
+    ).otherwise(F.array(F.md5(norm)))
+    return docs.select("doc_id", F.array_min(windows).alias("fp_md5"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for vec_id < 100."""
+    from string_grouper_spark.operators.ann import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_topk_bruteforce(emb, emb.where(F.col("vec_id") < 100), k=3)
+    return out.select(
+        "query_id", "item_id", F.round("cos", 4).alias("cos_r")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -188,6 +248,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_rep_earliest": q_group_rep_earliest,
         "group_rep_weight": q_group_rep_weight,
         "group_rep_completeness": q_group_rep_completeness,
+        "jaccard_pairs": q_jaccard_pairs,
+        "substring": q_substring,
+        "langid": q_langid,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "ann_topk": q_ann_topk,
     }
 
 
@@ -348,6 +414,119 @@ SELECT DISTINCT event_type,
          PARTITION BY event_type ORDER BY filled DESC, event_id ASC
        ) AS rep_event_id
 FROM scored
+"""
+
+
+_ORACLES["jaccard_pairs"] = r"""
+WITH docs AS (
+  SELECT doc_id, regexp_replace(lower(text), '[,-./]|\s', '', 'g') AS norm
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, substring(norm, i, 3) AS gram
+  FROM docs, LATERAL (SELECT unnest(generate_series(1, length(norm)-2)) AS i) t
+  WHERE length(norm) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS ic
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT l AS left_id, r AS right_id,
+       round(ic / (sa.sz + sb.sz - ic), 6) AS jac_r
+FROM inter JOIN sizes sa ON sa.doc_id = l JOIN sizes sb ON sb.doc_id = r
+WHERE ic / (sa.sz + sb.sz - ic) >= 0.5
+"""
+
+_ORACLES["substring"] = r"""
+WITH docs AS (
+  SELECT doc_id, regexp_replace(lower(text), '[,-./]|\s', '', 'g') AS norm
+  FROM documents
+)
+SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
+FROM docs a JOIN docs b
+  ON a.doc_id != b.doc_id AND length(a.norm) >= 16
+ AND position(a.norm IN b.norm) > 0
+"""
+
+_LANG_SCORE = (
+    "(len(regexp_split_to_array(' ' || lower(text) || ' ', '[^a-z]{w}[^a-z]')) - 1)"
+)
+
+
+def _lang_score_sum(words):
+    return " + ".join(_LANG_SCORE.format(w=w) for w in words)
+
+
+_ORACLES["langid"] = f"""
+WITH scored AS (
+  SELECT doc_id,
+         {_lang_score_sum(['the','and','of','to','is'])} AS s_en,
+         {_lang_score_sum(['der','die','und','das','ist'])} AS s_de,
+         {_lang_score_sum(['le','la','les','et','est'])} AS s_fr,
+         {_lang_score_sum(['el','los','las','es','una'])} AS s_es
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+       WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+       WHEN s_es > 0 THEN 'es'
+       ELSE 'und' END AS lang_pred
+FROM scored
+"""
+
+_ORACLES["quality"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS punct,
+         {_lang_score_sum(['the','and','of','to','is'])} AS stop_hits
+  FROM documents
+), ratios AS (
+  SELECT doc_id,
+         round(alpha / greatest(n_chars, 1), 6) AS alpha_ratio,
+         round(punct / greatest(n_chars, 1), 6) AS punct_ratio,
+         round(stop_hits / greatest(n_tokens, 1), 6) AS stopword_rate,
+         n_chars / n_tokens AS mean_tok
+  FROM base
+)
+SELECT doc_id, alpha_ratio, punct_ratio, stopword_rate,
+       round(
+         (CASE WHEN mean_tok >= 3 AND mean_tok <= 12 THEN 0.25 ELSE 0 END)
+       + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0 END)
+       + (CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE 0 END)
+       + (CASE WHEN stopword_rate >= 0.05 THEN 0.25 ELSE 0 END), 2) AS quality_score
+FROM ratios
+"""
+
+_ORACLES["fingerprint"] = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS n FROM documents
+)
+SELECT doc_id,
+  CASE WHEN length(n) >= 9 THEN
+    (SELECT min(md5(substring(norm.n, i, 9)))
+     FROM unnest(generate_series(1, length(norm.n) - 8)) AS t(i))
+  ELSE md5(n) END AS fp_md5
+FROM norm
+"""
+
+_ORACLES["ann_topk"] = r"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], i.embedding::DOUBLE[]) AS cos,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], i.embedding::DOUBLE[]) DESC,
+                    i.vec_id ASC
+         ) AS rn
+  FROM embeddings q JOIN embeddings i ON q.vec_id < 100
+)
+SELECT query_id, item_id, round(cos, 4) AS cos_r FROM scored WHERE rn <= 3
 """
 
 

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Headline benchmark for the driver (one JSON line to stdout).
+
+Env:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] parallelism (default 32) — run at 8 and 32 for
+                      the N->4N scaling-efficiency evidence (BASELINE.md)
+
+Queries (the engine's production shapes):
+  lsh_dedup       MinHash-LSH candidates -> exact re-score -> clusters (flagship)
+  exact_pairs_1k  exact all-pairs TF-IDF join on a 1000-doc slice (parity path)
+  simhash_cand    SimHash signatures + hamming-ball candidate join
+  substring       suffix-window containment pass
+  ann_topk        brute-force cosine top-10 over embeddings
+  text_stats      language-id + quality + fingerprint full scan
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from string_grouper_spark.config import MatchConfig  # noqa: E402
+from string_grouper_spark.functions import text_stats  # noqa: E402
+from string_grouper_spark.operators import ann, candidates, dedup  # noqa: E402
+from string_grouper_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("string_grouper_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    n_docs = docs.count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    emb.count()
+    cfg = MatchConfig(min_similarity=0.5, max_n_matches=1_000_000)
+
+    timings: dict[str, float] = {}
+    counters: dict[str, int] = {"n_docs": n_docs}
+
+    def timed(name, fn):
+        t0 = time.time()
+        counters[f"{name}_rows"] = fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    timed(
+        "lsh_dedup",
+        lambda: dedup.lsh_dedup_clusters(docs, cfg, n_docs=n_docs).count(),
+    )
+    docs1k = docs.where(F.col("doc_id") < 1000).persist()
+    n1k = docs1k.count()
+    timed(
+        "exact_pairs_1k",
+        lambda: dedup.near_duplicate_pairs(docs1k, cfg, n_docs=n1k).count(),
+    )
+    timed(
+        "simhash_cand",
+        lambda: candidates.simhash_candidates(docs, cfg, max_hamming=3).count(),
+    )
+    timed(
+        "substring",
+        lambda: candidates.substring_containment(docs, cfg, anchor_len=24).count(),
+    )
+    timed("ann_topk", lambda: ann.cosine_topk_bruteforce(emb, k=10).count())
+    timed(
+        "text_stats",
+        lambda: text_stats.fingerprint(
+            text_stats.quality_score(text_stats.language_id(docs))
+        )
+        .agg(F.count(F.lit(1)))
+        .first()[0],
+    )
+
+    total = round(sum(timings.values()), 3)
+    # dedup throughput: docs fully near-dup-clustered per second (flagship)
+    dedup_docs_per_sec = round(n_docs / timings["lsh_dedup"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(cpus),
+                "n_docs": n_docs,
+                "dedup_docs_per_sec": dedup_docs_per_sec,
+                "counters": counters,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,192 @@
+"""Stage checkpointing + lineage/metrics + resume (north rule: "resumable
+from checkpoint with per-partition lineage + metrics").
+
+Design: every pipeline stage is a pure DataFrame -> DataFrame function.  A
+``StageCheckpointer`` wraps each stage: results are written to a stage table
+(parquet in-sandbox; the layout is Iceberg-shaped — one directory per stage
+under a run root — so swapping the writer for an Iceberg catalog is a
+one-line change), together with
+
+  * ``_metrics``: one row per stage (stage, fingerprint, rows_out, wall_ms,
+    n_partitions, completed_at) — appended, queryable as a table.
+  * ``_lineage``: one row per output partition (stage, partition_id, rows) —
+    computed with ``spark_partition_id()`` during the same write-side pass.
+
+Resume: a stage is SKIPPED (its table read back) iff a ``_SUCCESS``-marked
+stage table with a MATCHING config fingerprint exists.  The fingerprint
+covers the stage name + config + upstream fingerprints, so changing any
+upstream invalidates everything downstream — the same invalidation rule a
+lineage-aware catalog would apply.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import asdict, is_dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _fingerprint(*parts) -> str:
+    blob = json.dumps(
+        [asdict(p) if is_dataclass(p) else p for p in parts],
+        sort_keys=True,
+        default=str,
+    )
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+class StageCheckpointer:
+    def __init__(self, spark: SparkSession, root: str, run_config=None):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.run_fp = _fingerprint(run_config or {})
+        os.makedirs(self.root, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------------
+    def _stage_dir(self, stage: str) -> str:
+        return f"{self.root}/{stage}"
+
+    def _meta_path(self, stage: str) -> str:
+        return f"{self._stage_dir(stage)}/_stage_meta.json"
+
+    # -- metrics/lineage tables ----------------------------------------------
+    @property
+    def metrics(self) -> DataFrame:
+        return self.spark.read.json(f"{self.root}/_metrics")
+
+    @property
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.root}/_lineage")
+
+    def _append_metrics(self, row: dict) -> None:
+        path = f"{self.root}/_metrics"
+        os.makedirs(path, exist_ok=True)
+        fname = f"{path}/{row['stage']}-{row['fingerprint']}.json"
+        with open(fname, "w") as f:
+            f.write(json.dumps(row) + "\n")
+
+    # -- the core wrapper ----------------------------------------------------
+    def stage(
+        self,
+        name: str,
+        build: Callable[[], DataFrame],
+        upstream_fps: Optional[list] = None,
+        extra_config=None,
+    ) -> DataFrame:
+        """Run (or resume) a named stage.  Returns the stage's DataFrame,
+        always backed by the checkpoint table (lineage cut)."""
+        fp = _fingerprint(name, self.run_fp, upstream_fps or [], extra_config or {})
+        sdir = self._stage_dir(name)
+        meta_path = self._meta_path(name)
+
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta.get("fingerprint") == fp:
+                return self.spark.read.parquet(f"{sdir}/data")
+
+        t0 = time.time()
+        df = build()
+        # lineage pass: tag partition ids, write data + per-partition counts
+        tagged = df.withColumn("_pid", F.spark_partition_id())
+        tagged.write.mode("overwrite").parquet(f"{sdir}/data.tmp")
+        written = self.spark.read.parquet(f"{sdir}/data.tmp")
+        lineage = (
+            written.groupBy("_pid")
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .select(
+                F.lit(name).alias("stage"),
+                F.lit(fp).alias("fingerprint"),
+                F.col("_pid").alias("partition_id"),
+                "rows",
+            )
+        )
+        lineage.write.mode("append").parquet(f"{self.root}/_lineage")
+        written.drop("_pid").write.mode("overwrite").parquet(f"{sdir}/data")
+        rows_out = written.count()
+        n_parts = written.select("_pid").distinct().count()
+        wall_ms = int((time.time() - t0) * 1000)
+        self._append_metrics(
+            {
+                "stage": name,
+                "fingerprint": fp,
+                "rows_out": rows_out,
+                "wall_ms": wall_ms,
+                "n_partitions": n_parts,
+                "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            }
+        )
+        # atomic-ish completion marker LAST: a crash before this point leaves
+        # no meta file, so resume re-runs the stage
+        with open(meta_path, "w") as f:
+            json.dump({"fingerprint": fp, "rows_out": rows_out, "wall_ms": wall_ms}, f)
+        return self.spark.read.parquet(f"{sdir}/data")
+
+    def stage_fingerprint(self, name: str) -> Optional[str]:
+        meta_path = self._meta_path(name)
+        if not os.path.exists(meta_path):
+            return None
+        with open(meta_path) as f:
+            return json.load(f).get("fingerprint")
+
+
+def checkpointed_dedup_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg,
+    root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The flagship pipeline cut at its natural shuffle boundaries
+    (SURVEY §3: corpus -> postings -> pairs -> components -> labels), each
+    stage resumable.  Returns (node, group_rep)."""
+    from .functions.tfidf import build_postings, corpus_idf, term_frequencies, tokenize
+    from .operators.grouping import group_labels
+    from .operators.matching import match_edges
+    from .operators.similarity import LEFT, RIGHT
+
+    ck = StageCheckpointer(spark, root, run_config=cfg)
+    n_docs = docs.count()
+
+    tokens = ck.stage("tokens", lambda: tokenize(docs, cfg, text_col, id_col))
+    fp_tokens = ck.stage_fingerprint("tokens")
+
+    idf = ck.stage(
+        "idf", lambda: corpus_idf(tokens, None, n_docs), upstream_fps=[fp_tokens]
+    )
+    postings = ck.stage(
+        "postings",
+        lambda: build_postings(term_frequencies(tokens), idf, cfg),
+        upstream_fps=[fp_tokens, ck.stage_fingerprint("idf")],
+    )
+
+    def build_edges():
+        from .operators.matching import _self_similarity
+        from .operators.similarity import cosine_join, symmetrize, top_n_per_left
+
+        off = cosine_join(postings, postings, cfg.min_similarity, self_join=True)
+        diag = _self_similarity(postings).where(F.col("similarity") >= cfg.min_similarity)
+        edges = top_n_per_left(off.unionAll(diag), cfg.max_n_matches)
+        if cfg.force_symmetries:
+            edges = symmetrize(
+                edges.where(F.col(LEFT) != F.col(RIGHT)),
+                docs.select(F.col(id_col)),
+            )
+        return edges
+
+    edges = ck.stage(
+        "edges", build_edges, upstream_fps=[ck.stage_fingerprint("postings")]
+    )
+    labels = ck.stage(
+        "labels",
+        lambda: group_labels(edges, docs.select(F.col(id_col).alias("row_id")), cfg),
+        upstream_fps=[ck.stage_fingerprint("edges")],
+    )
+    return labels

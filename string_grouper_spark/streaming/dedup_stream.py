@@ -1,0 +1,77 @@
+"""Structured-Streaming dedup for a pages/documents stream.
+
+The reference has no streaming story (SURVEY §2.3); at web scale ingest is a
+stream, so the engine ships two streaming operators:
+
+  * ``streaming_exact_dedup`` — drop exact-content duplicates within a
+    watermark horizon: ``withWatermark`` + ``dropDuplicates`` on the content
+    hash (state bounded by the watermark — required at 10^12 docs).
+  * ``streaming_simhash_tag`` — stateless per-batch signature tagging
+    (the LSH/banding join then runs as periodic batch compaction over the
+    signature sink, which is the standard lambda design for streaming
+    near-dup: signatures streamed, candidate joins batched).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact dedup over a stream: first-seen row per content hash survives.
+
+    State is bounded: hashes older than the watermark are evicted, so memory
+    is O(rows per horizon), not O(stream length).
+    """
+    return (
+        stream.withColumn("content_hash", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(["content_hash"])
+    )
+
+
+def streaming_simhash_tag(
+    stream: DataFrame,
+    cfg=None,
+    text_col: str = "text",
+    id_col: str = "url",
+) -> DataFrame:
+    """Tag each streamed page with its 64-bit SimHash (stateless map).
+
+    Reuses the batch signature kernel — same pandas UDF, same determinism;
+    downstream batch compaction joins signatures into candidate pairs.
+    """
+    from ..config import MatchConfig
+    from ..functions.normalize import ngrams_expr, normalize_expr
+    from ..operators.candidates import simhash_expr
+
+    cfg = cfg or MatchConfig()
+    normed = stream.withColumn("_norm", normalize_expr(F.col(text_col), cfg))
+    grams = normed.withColumn("_grams", ngrams_expr(F.col("_norm"), cfg.ngram_size))
+    # per-row tf aggregation without a stateful shuffle: gram counts computed
+    # inside the array expression (stream-safe: no groupBy needed)
+    counted = grams.withColumn(
+        "_gram_structs",
+        F.transform(
+            F.array_distinct("_grams"),
+            lambda g: F.struct(
+                F.xxhash64(g).alias("gh"),
+                F.size(F.filter("_grams", lambda x: x == g)).alias("tf"),
+            ),
+        ),
+    )
+    # simhash_expr is pure Catalyst (no Python UDF), so it composes freely
+    # with the higher-order expressions above even inside a streaming plan
+    return counted.withColumn(
+        "simhash",
+        simhash_expr(
+            F.transform("_gram_structs", lambda s: s["gh"]),
+            F.transform("_gram_structs", lambda s: s["tf"]),
+        ),
+    ).drop("_norm", "_grams", "_gram_structs")

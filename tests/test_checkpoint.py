@@ -1,0 +1,86 @@
+"""Checkpoint/resume: stage skip on matching fingerprint, invalidation on
+config change, metrics + per-partition lineage rows, resume-equivalence."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from string_grouper_spark.checkpoint import StageCheckpointer, checkpointed_dedup_pipeline
+from string_grouper_spark.config import MatchConfig
+
+
+@pytest.fixture
+def docs(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog!",
+                "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG",
+                "completely different text about spark shuffles",
+                "completely different text about spark shuffles today",
+                "a third topic entirely concerning minhash bands",
+                "a third topic entirely concerning minhash bands",
+                "nothing like the others at all in any way shape",
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_stage_runs_once_then_resumes(spark, docs, tmp_path):
+    ck = StageCheckpointer(spark, str(tmp_path), run_config={"v": 1})
+    calls = []
+
+    def build():
+        calls.append(1)
+        return docs.select("doc_id")
+
+    a = ck.stage("ids", build).toPandas()
+    b = ck.stage("ids", build).toPandas()  # must NOT rebuild
+    assert len(calls) == 1
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_fingerprint_invalidation(spark, docs, tmp_path):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return docs.select("doc_id")
+
+    ck1 = StageCheckpointer(spark, str(tmp_path), run_config={"min_similarity": 0.8})
+    ck1.stage("ids", build)
+    ck2 = StageCheckpointer(spark, str(tmp_path), run_config={"min_similarity": 0.5})
+    ck2.stage("ids", build)  # config changed -> must rebuild
+    assert len(calls) == 2
+
+
+def test_metrics_and_lineage_written(spark, docs, tmp_path):
+    ck = StageCheckpointer(spark, str(tmp_path), run_config={})
+    ck.stage("ids", lambda: docs.select("doc_id").repartition(4))
+    m = ck.metrics.toPandas()
+    assert set(m["stage"]) == {"ids"}
+    assert int(m["rows_out"].iloc[0]) == 8
+    lin = ck.lineage.toPandas()
+    assert lin["rows"].sum() == 8
+    assert (lin["stage"] == "ids").all()
+    assert lin["partition_id"].nunique() >= 1
+
+
+def test_pipeline_resume_equivalence(spark, docs, tmp_path):
+    cfg = MatchConfig(min_similarity=0.5, max_n_matches=100)
+    r1 = checkpointed_dedup_pipeline(spark, docs, cfg, str(tmp_path)).toPandas()
+    # second run resumes every stage from disk — result must be identical
+    r2 = checkpointed_dedup_pipeline(spark, docs, cfg, str(tmp_path)).toPandas()
+    c = lambda d: d.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(c(r1), c(r2))
+    # and matches the non-checkpointed pipeline
+    from string_grouper_spark.operators.dedup import near_duplicate_clusters
+
+    direct = near_duplicate_clusters(docs, cfg).toPandas()
+    pd.testing.assert_frame_equal(c(r1), c(direct))

@@ -1,0 +1,83 @@
+"""Synthetic pages table: schema per input_hint, byte-identical extraction
+invariant, ground-truth cluster recovery by the engine."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from string_grouper_spark.config import MatchConfig
+from string_grouper_spark.operators.dedup import near_duplicate_clusters
+from string_grouper_spark.sources.pages import (
+    extract_text_expr,
+    generate_pages,
+    generate_pages_distributed,
+)
+
+
+def test_schema_matches_input_hint(spark):
+    df = generate_pages(spark, 50)
+    types = dict(df.dtypes)
+    assert types["url"] == "string"
+    assert types["warc_ts"] == "timestamp"
+    assert types["html"] == "binary"
+    assert types["text"] == "string"
+    assert types["lang"] == "string"
+    assert df.select("url").distinct().count() == 50
+
+
+def test_extraction_byte_identical_per_url(spark):
+    # the north-rule per-row invariant: extracted text == stored text, byte-exact
+    df = generate_pages(spark, 200)
+    bad = df.where(extract_text_expr(F.col("html")) != F.col("text")).count()
+    assert bad == 0
+    # byte-level check (not just string equality) on the driver
+    pdf = df.select("html", "text").toPandas()
+    for h, t in zip(pdf["html"], pdf["text"]):
+        inner = bytes(h)[len(b'<html><head><meta charset="utf-8"></head><body><p>'):-len(b"</p></body></html>")]
+        assert inner == t.encode("utf-8")
+
+
+def test_generator_deterministic(spark):
+    a = generate_pages(spark, 100).toPandas().sort_values("page_id").reset_index(drop=True)
+    b = generate_pages(spark, 100).toPandas().sort_values("page_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_engine_recovers_true_clusters(spark):
+    # mutated members (case/punct/unicode edits) must cluster with their
+    # original: pairwise recall vs generated ground truth
+    df = generate_pages(spark, 300, seed=7).persist()
+    docs = df.select(F.col("page_id").alias("doc_id"), "text")
+    labels = near_duplicate_clusters(
+        docs, MatchConfig(min_similarity=0.7, max_n_matches=100)
+    ).toPandas()
+    truth = df.select("page_id", "true_cluster").toPandas()
+    merged = labels.merge(truth, left_on="node", right_on="page_id")
+
+    def pairs(frame, col):
+        out = set()
+        for _, grp in frame.groupby(col):
+            ids = sorted(grp["node"])
+            out |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]}
+        return out
+
+    true_pairs = pairs(merged, "true_cluster")
+    got_pairs = pairs(merged, "group_rep")
+    # substring-truncation members (kind 3) legitimately fall below 0.7
+    # cosine, so require high-but-not-perfect pair recall on this fixture
+    recall = len(true_pairs & got_pairs) / len(true_pairs)
+    assert recall >= 0.7, recall
+    precision = len(true_pairs & got_pairs) / max(1, len(got_pairs))
+    assert precision >= 0.95, precision
+
+
+def test_distributed_generator_invariant(spark):
+    df = generate_pages_distributed(spark, 1000, seed=3)
+    assert df.count() == 1000
+    bad = df.where(extract_text_expr(F.col("html")) != F.col("text")).count()
+    assert bad == 0
+    # deterministic across invocations
+    h1 = df.select(F.expr("bit_xor(xxhash64(url, text))")).first()[0]
+    h2 = generate_pages_distributed(spark, 1000, seed=3).select(
+        F.expr("bit_xor(xxhash64(url, text))")
+    ).first()[0]
+    assert h1 == h2

@@ -1,0 +1,106 @@
+"""Text-analysis functions + ANN operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from string_grouper_spark.functions import text_stats
+from string_grouper_spark.operators import ann
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_language_id(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": [
+                "the cat and the dog walked to the park",
+                "der Hund und die Katze, das ist gut",
+                "le chat et la souris est dans les champs",
+                "xyzzy plugh qwerty",
+            ],
+        }
+    )
+    out = text_stats.language_id(spark.createDataFrame(pdf)).toPandas().sort_values("doc_id")
+    assert out["lang_pred"].tolist() == ["en", "de", "fr", "und"]
+
+
+def test_quality_and_token_counts(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "the quick brown fox is one of the best foxes, truly.",
+                "!!!! ???? ,,,, ....",
+            ],
+        }
+    )
+    df = text_stats.quality_score(
+        text_stats.word_token_count(text_stats.token_count(spark.createDataFrame(pdf)))
+    )
+    out = df.toPandas().sort_values("doc_id")
+    assert out["n_tokens"].tolist() == [11, 4]
+    good, junk = out["quality_score"].tolist()
+    assert good > junk
+    assert out["alpha_ratio"].iloc[0] > 0.6
+    assert out["alpha_ratio"].iloc[1] == 0.0
+
+
+def test_fingerprint_invariance(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "alpha beta gamma delta epsilon zeta",
+                "alpha  beta\tgamma   delta epsilon zeta",  # whitespace noise
+                "totally different words here now",
+            ],
+        }
+    )
+    out = text_stats.fingerprint(spark.createDataFrame(pdf)).toPandas().sort_values("doc_id")
+    fps = out["fingerprint"].tolist()
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+
+
+def test_bruteforce_topk_matches_numpy(spark, embeddings):
+    k = 5
+    got = ann.cosine_topk_bruteforce(embeddings, k=k).toPandas()
+    pdf = embeddings.toPandas().sort_values("vec_id")
+    vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    np.fill_diagonal(sims, -np.inf)
+    ids = pdf["vec_id"].to_numpy()
+    for q in ids[:25]:
+        row = sims[q]
+        order = np.lexsort((ids, -row))[:k]
+        expected = set(ids[order])
+        got_q = set(got[got.query_id == q]["item_id"])
+        assert got_q == expected, q
+        # values agree
+        gvals = got[got.query_id == q].sort_values("item_id")
+        for _, r in gvals.iterrows():
+            assert abs(r["cos"] - row[int(r["item_id"])]) < 1e-9
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    k = 3
+    exact = ann.cosine_topk_bruteforce(embeddings, k=k).toPandas()
+    # top-3 neighbors in this fixture sit at cosine ~0.25-0.5 — a hard
+    # regime for sign-LSH; 32 tables x 4 planes gives ~0.99 measured recall
+    approx = ann.lsh_cosine_topk(
+        embeddings, dim=len(embeddings.first()["embedding"]), k=k,
+        num_tables=32, planes_per_table=4,
+    ).toPandas()
+    e = set(zip(exact.query_id, exact.item_id))
+    a = set(zip(approx.query_id, approx.item_id))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.95, recall

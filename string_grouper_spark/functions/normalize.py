@@ -36,10 +36,15 @@ from ..config import MatchConfig
 
 @pandas_udf(StringType())
 def _nfkd_ascii(s: pd.Series) -> pd.Series:
-    """Vectorized NFKD -> ASCII fold (reference string_grouper.py:374-375)."""
+    """Vectorized NFKD -> ASCII fold (reference string_grouper.py:374-375).
+
+    Fast path: ``str.isascii`` is a C-level scan and NFKD is the identity on
+    pure ASCII, so ASCII rows (the overwhelming majority of webtext after
+    lang filtering) skip the expensive normalize entirely.
+    """
     def fold(x: Optional[str]) -> Optional[str]:
-        if x is None:
-            return None
+        if x is None or x.isascii():
+            return x
         return unicodedata.normalize("NFKD", x).encode("ASCII", "ignore").decode()
 
     return s.map(fold)

@@ -89,6 +89,26 @@ def make_minhash_band_udf(num_perm: int, num_bands: int):
     return band_keys
 
 
+def minhash_bands_from_tokens(
+    tokens: DataFrame, num_perm: int = 128, num_bands: int = 64
+) -> DataFrame:
+    """(doc_id, band, key) from an exploded (doc_id, gram) table.
+
+    Single shuffle: ``collect_set`` of gram HASHES dedups map-side (hashing
+    before the shuffle also halves the shuffled bytes vs shipping strings).
+    """
+    gram_hashes = (
+        tokens.select(DOC, F.xxhash64(GRAM).alias("gh"))
+        .groupBy(DOC)
+        .agg(F.collect_set("gh").alias("ghs"))
+    )
+    udf = make_minhash_band_udf(num_perm, num_bands)
+    sigs = gram_hashes.select(DOC, udf(F.col("ghs")).alias("bands")).where(
+        F.col("bands").isNotNull()
+    )
+    return sigs.select(DOC, F.posexplode("bands").alias("band", "key"))
+
+
 def minhash_bands(
     docs: DataFrame,
     cfg: MatchConfig,
@@ -99,17 +119,7 @@ def minhash_bands(
 ) -> DataFrame:
     """(doc_id, band, key): one row per (doc, band) — the LSH bucket table."""
     tokens = tokenize(docs, cfg, text_col=text_col, id_col=id_col)
-    gram_hashes = (
-        tokens.dropDuplicates([DOC, GRAM])
-        .select(DOC, F.xxhash64(GRAM).alias("gh"))
-        .groupBy(DOC)
-        .agg(F.collect_list("gh").alias("ghs"))
-    )
-    udf = make_minhash_band_udf(num_perm, num_bands)
-    sigs = gram_hashes.select(DOC, udf(F.col("ghs")).alias("bands")).where(
-        F.col("bands").isNotNull()
-    )
-    return sigs.select(DOC, F.posexplode("bands").alias("band", "key"))
+    return minhash_bands_from_tokens(tokens, num_perm, num_bands)
 
 
 def lsh_bucket_stats(bands: DataFrame) -> DataFrame:
@@ -410,15 +420,22 @@ def rescored_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_docs: Optional[int] = None,
+    postings: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Exact TF-IDF cosine on candidate pairs only; (l, r, similarity) with
     sim >= cfg.min_similarity.  This is what replaces the all-pairs join at
-    web scale: LSH narrows, exact math decides."""
-    from ..functions.tfidf import tfidf_postings
-    from .similarity import SIM, score_pairs
+    web scale: LSH narrows, exact math decides.  Scoring uses the packed
+    Arrow kernel (similarity.score_pairs_packed): O(|cand| * doc_len),
+    independent of gram document frequency — no stop-gram blowup.
 
-    postings, _, _ = tfidf_postings(
-        docs, None, cfg, text_col=text_col, id_col=id_col, n_master=n_docs
-    )
-    scored = score_pairs(candidates, postings)
+    Pass ``postings`` to reuse an existing posting table (avoids
+    re-tokenizing when the pipeline already built one)."""
+    from ..functions.tfidf import tfidf_postings
+    from .similarity import SIM, score_pairs_packed
+
+    if postings is None:
+        postings, _, _ = tfidf_postings(
+            docs, None, cfg, text_col=text_col, id_col=id_col, n_master=n_docs
+        )
+    scored = score_pairs_packed(candidates, postings)
     return scored.where(F.col(SIM) >= float(cfg.min_similarity))

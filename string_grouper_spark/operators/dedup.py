@@ -95,19 +95,33 @@ def lsh_dedup_clusters(
     join — cost scales with candidate count, not corpus^2.
 
     Returns (node, component) with component = min doc id in cluster.
+
+    Plan economy: the corpus is tokenized ONCE (persisted) and both the
+    MinHash signatures and the exact-re-score postings derive from that same
+    token table — tokenization (the only Python UDF in the path, for NFKD)
+    is the most expensive narrow stage, so it must not run twice.
     """
-    from .candidates import minhash_candidates, rescored_pairs
+    from ..functions.tfidf import tfidf_postings_from_tokens, tokenize
+    from .candidates import _bucket_pairs, minhash_bands_from_tokens, rescored_pairs
     from .grouping import connected_components
 
     cfg = cfg or MatchConfig()
-    cand = minhash_candidates(
-        docs, cfg, num_perm, num_bands, max_bucket_size, text_col, id_col
-    )
-    pairs = rescored_pairs(docs, cand, cfg, text_col, id_col, n_docs)
-    nodes = docs.select(F.col(id_col))
-    return connected_components(
-        pairs.select(F.col(LEFT).alias("u"), F.col(RIGHT).alias("v")), nodes
-    )
+    if n_docs is None:
+        n_docs = docs.count()
+    tokens = tokenize(docs, cfg, text_col=text_col, id_col=id_col).persist()
+    try:
+        bands = minhash_bands_from_tokens(tokens, num_perm, num_bands)
+        cand = _bucket_pairs(bands, max_bucket_size)
+        postings = tfidf_postings_from_tokens(tokens, n_docs, cfg)
+        pairs = rescored_pairs(docs, cand, cfg, postings=postings)
+        nodes = docs.select(F.col(id_col))
+        return connected_components(
+            pairs.select(F.col(LEFT).alias("u"), F.col(RIGHT).alias("v")), nodes
+        )
+    finally:
+        # labels are localCheckpoint-ed inside connected_components, so the
+        # token cache is no longer needed by the returned DataFrame
+        tokens.unpersist()
 
 
 def components_only(

@@ -32,8 +32,12 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 from ..config import MatchConfig
 from ..functions.tfidf import DOC, GRAM, W
@@ -149,6 +153,76 @@ def complete_zero_matches(
     )
     missing = all_pairs.join(edges.select(LEFT, RIGHT), [LEFT, RIGHT], "left_anti")
     return edges.unionAll(missing.withColumn(SIM, F.lit(0.0)))
+
+
+def pack_postings(postings: DataFrame) -> DataFrame:
+    """(doc_id, gram, w) -> (doc_id, ghs: sorted array<long>, ws: array<double>).
+
+    Grams are xxhash64-hashed (collision odds ~|vocab|^2 / 2^64 — negligible)
+    so the packed representation is fixed-width and sortable; the sparse-dot
+    kernel then merge-joins two sorted arrays per pair.
+    """
+    from ..functions.tfidf import GRAM
+
+    hashed = postings.select(DOC, F.xxhash64(GRAM).alias("gh"), W)
+    packed = hashed.groupBy(DOC).agg(
+        F.sort_array(F.collect_list(F.struct("gh", F.col(W).alias("w")))).alias("ps")
+    )
+    return packed.select(
+        DOC,
+        F.transform("ps", lambda s: s["gh"]).alias("ghs"),
+        F.transform("ps", lambda s: s["w"]).alias("ws"),
+    )
+
+
+@pandas_udf(DoubleType())
+def _sparse_dot(g1: pd.Series, w1: pd.Series, g2: pd.Series, w2: pd.Series) -> pd.Series:
+    """Arrow-vectorized sparse dot of sorted (hash, weight) arrays."""
+    out = np.zeros(len(g1))
+    for i in range(len(g1)):
+        a, b = g1[i], g2[i]
+        if a is None or b is None or len(a) == 0 or len(b) == 0:
+            continue
+        a = np.asarray(a, dtype=np.int64)
+        b = np.asarray(b, dtype=np.int64)
+        _, ia, ib = np.intersect1d(a, b, assume_unique=True, return_indices=True)
+        if len(ia):
+            out[i] = np.dot(
+                np.asarray(w1[i], dtype=np.float64)[ia],
+                np.asarray(w2[i], dtype=np.float64)[ib],
+            )
+    return pd.Series(out)
+
+
+def score_pairs_packed(
+    candidates: DataFrame,
+    postings_l: DataFrame,
+    postings_r: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Exact cosine re-scoring via packed arrays — the SCALE path.
+
+    Unlike ``score_pairs`` (gram-equi-join), this never multiplies candidate
+    rows by gram count: two doc_id joins attach each side's packed vector,
+    then an Arrow kernel computes the dot map-side.  Cost is
+    O(|candidates| * avg_doc_len), independent of gram document frequency —
+    at web scale this is the difference between a bounded job and a
+    stop-gram blowup.
+    """
+    cand = candidates.select(LEFT, RIGHT).dropDuplicates([LEFT, RIGHT])
+    packed_l = pack_postings(postings_l)
+    # pack ONCE for self-scoring: both join sides reference the same plan
+    # (and the same cache if the caller persisted it)
+    packed_r = pack_postings(postings_r) if postings_r is not None else packed_l
+    pl = packed_l.select(
+        F.col(DOC).alias(LEFT), F.col("ghs").alias("_g1"), F.col("ws").alias("_w1")
+    )
+    pr = packed_r.select(
+        F.col(DOC).alias(RIGHT), F.col("ghs").alias("_g2"), F.col("ws").alias("_w2")
+    )
+    joined = cand.join(pl, LEFT, "left").join(pr, RIGHT, "left")
+    return joined.select(
+        LEFT, RIGHT, _sparse_dot("_g1", "_w1", "_g2", "_w2").alias(SIM)
+    )
 
 
 def score_pairs(

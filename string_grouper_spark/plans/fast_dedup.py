@@ -1,0 +1,332 @@
+"""Shuffle-minimal physical plan for the flagship LSH dedup pipeline.
+
+The generic operators (functions/tfidf.py + operators/candidates.py) build
+TF-IDF through exploded posting tables — 4 wide stages over |docs|*|doc_len|
+rows.  Profiling on local[8..32] showed those shuffles are memory-bandwidth
+bound: they stop scaling with cores long before the CPU does.
+
+This plan exploits a property of CHARACTER n-grams the generic path can't
+assume: the vocabulary is bounded (ASCII-folded 3-grams: <= ~343k distinct
+codes, and a gram IS its bytes), so
+
+  1. per-doc (gram_code, tf) arrays are computed in ONE narrow mapInPandas
+     pass — numpy stride tricks over the normalized bytes, no explode;
+  2. the only wide stage before the candidate join is the document-frequency
+     count, whose shuffle is ~|vocab| * n_partitions rows of a single long
+     (map-side partial agg collapses repeats);
+  3. IDF is collected (bounded!) and BROADCAST as two sorted numpy arrays;
+     weights + L2 + MinHash bands all happen in a second narrow pass;
+  4. exact re-scoring joins candidates to the per-doc packed vectors by
+     doc_id and runs the same `_sparse_dot` Arrow kernel.
+
+Numeric contract: identical tf / sklearn-idf / L2 math as functions/tfidf.py
+(equality asserted in tests/test_fast_plan.py to 1e-12), with gram identity
+= raw n-gram bytes instead of xxhash64(gram) — collision-free, cheaper, and
+exactly the reference's vocabulary (string_grouper.py:699-707).
+
+Scope: ngram_size <= 8 (codes must fit a uint64) and a self-join corpus —
+the shapes the web-scale dedup rule needs.  Everything else uses the
+generic path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..config import MatchConfig
+from ..functions.normalize import py_normalize
+from ..operators.candidates import _band_mixers, _perm_params
+from ..operators.similarity import LEFT, RIGHT, SIM, _sparse_dot
+
+TERM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("codes", ArrayType(LongType()), True),
+        StructField("tfs", ArrayType(LongType()), True),
+        StructField("scodes", ArrayType(LongType()), True),
+    ]
+)
+
+VEC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("codes", ArrayType(LongType()), True),
+        StructField("ws", ArrayType(DoubleType()), True),
+        StructField("bands", ArrayType(LongType()), True),
+    ]
+)
+
+
+def _encode_doc(text: str, cfg: MatchConfig):
+    """Normalized text -> (sorted unique gram codes, counts) via numpy.
+
+    A gram's code is its raw bytes packed big-endian into a uint64 — a
+    PERFECT hash for ngram_size <= 8, vectorized with stride tricks (no
+    per-gram Python, no string objects).
+    """
+    n = cfg.ngram_size
+    norm = py_normalize(text, cfg)
+    b = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8)
+    if len(b) < n:
+        return None, None
+    windows = np.lib.stride_tricks.sliding_window_view(b, n).astype(np.uint64)
+    codes = np.zeros(len(windows), dtype=np.uint64)
+    for i in range(n):
+        codes = (codes << np.uint64(8)) | windows[:, i]
+    uniq, counts = np.unique(codes, return_counts=True)
+    return uniq.astype(np.int64), counts.astype(np.int64)
+
+
+def _word_shingle_codes(text: str, cfg: MatchConfig, shingle_words: int):
+    """Distinct word-n-gram shingle codes (blake2b-64 of the joined words).
+
+    Word shingles are the published practice for LONG-document MinHash
+    (Gopher / RefinedWeb / SlimPajama): char 3-grams give random web docs
+    jaccard ~0.2 (stop-grams), flooding the LSH buckets, while word 5-grams
+    make unrelated docs near-disjoint.  Normalization mirrors the reference
+    tokenizer's folding (lower + NFKD + strip [,-./]) but keeps whitespace
+    as the word separator.
+    """
+    import hashlib
+    import re
+    import unicodedata
+
+    if cfg.ignore_case:
+        text = text.lower()
+    if cfg.normalize_to_ascii and not text.isascii():
+        text = unicodedata.normalize("NFKD", text).encode("ASCII", "ignore").decode()
+    words = re.sub(r"[,\-./]", " ", text).split()
+    if len(words) < shingle_words:
+        shingles = [" ".join(words)] if words else []
+    else:
+        shingles = [
+            " ".join(words[i : i + shingle_words])
+            for i in range(len(words) - shingle_words + 1)
+        ]
+    if not shingles:
+        return None
+    out = {
+        int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+        - (1 << 63)
+        for s in shingles
+    }
+    return np.fromiter(out, dtype=np.int64)
+
+
+def doc_term_arrays(
+    docs: DataFrame,
+    cfg: MatchConfig,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: str = "char",
+    shingle_words: int = 5,
+) -> DataFrame:
+    """Narrow pass 1: (doc_id, codes, tfs, scodes) — one row per doc, no
+    shuffle.  codes/tfs = char-n-gram TF (exact-rescore features); scodes =
+    the MinHash shingle set: the same char codes (``shingle='char'``,
+    reference semantics for short strings) or word-n-gram hashes
+    (``shingle='word'``, document-scale practice)."""
+    if cfg.ngram_size > 8:
+        raise ValueError("fast plan supports ngram_size <= 8 (uint64 gram codes)")
+    if shingle not in ("char", "word"):
+        raise ValueError(shingle)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            codes_col, tfs_col, scodes_col = [], [], []
+            for t in pdf[text_col]:
+                c, f = _encode_doc(t, cfg)
+                codes_col.append(c)
+                tfs_col.append(f)
+                if shingle == "word":
+                    scodes_col.append(_word_shingle_codes(t, cfg, shingle_words))
+                else:
+                    scodes_col.append(c)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "codes": codes_col,
+                    "tfs": tfs_col,
+                    "scodes": scodes_col,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, TERM_SCHEMA)
+
+
+def gram_document_frequencies(terms: DataFrame) -> DataFrame:
+    """(code, df): the plan's ONLY wide stage before the candidate join.
+    codes are unique per doc already, so count(*) == document frequency;
+    map-side partial agg reduces the shuffle to ~|vocab| rows/partition."""
+    return (
+        terms.select(F.explode("codes").alias("code"))
+        .groupBy("code")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def _collect_idf(spark: SparkSession, terms: DataFrame, n_docs: int,
+                 max_vocab: int = 8_000_000):
+    dfreq = gram_document_frequencies(terms)
+    n_vocab = dfreq.count()
+    if n_vocab > max_vocab:
+        raise ValueError(
+            f"vocabulary {n_vocab} exceeds broadcastable bound {max_vocab}; "
+            "use the generic posting-join path"
+        )
+    pdf = dfreq.toPandas().sort_values("code")
+    codes = pdf["code"].to_numpy(dtype=np.int64)
+    idf = (np.log((1.0 + n_docs) / (1.0 + pdf["df"].to_numpy(dtype=np.float64))) + 1.0)
+    return spark.sparkContext.broadcast((codes, idf))
+
+
+def doc_vectors(
+    docs: DataFrame,
+    cfg: MatchConfig,
+    num_perm: int = 128,
+    num_bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: Optional[int] = None,
+    terms: Optional[DataFrame] = None,
+    shingle: str = "char",
+    shingle_words: int = 5,
+) -> DataFrame:
+    """Narrow pass 2: (doc_id, codes, ws, bands) — packed L2-normalized
+    TF-IDF vector + MinHash band keys per doc, computed map-side against the
+    broadcast IDF table.  Band keys hash the ``scodes`` shingle set."""
+    spark = docs.sparkSession
+    if n_docs is None:
+        n_docs = docs.count()
+    terms = terms if terms is not None else doc_term_arrays(
+        docs, cfg, text_col, id_col, shingle, shingle_words
+    )
+    idf_bc = _collect_idf(spark, terms, n_docs)
+    perms = _perm_params(num_perm)
+    mixers = _band_mixers(num_bands)
+    r = num_perm // num_bands
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vocab_codes, vocab_idf = idf_bc.value
+        for pdf in batches:
+            ws_col, bands_col = [], []
+            with np.errstate(over="ignore"):
+                for codes, tfs, scodes in zip(pdf["codes"], pdf["tfs"], pdf["scodes"]):
+                    if codes is None or len(codes) == 0:
+                        ws_col.append(None)
+                        bands_col.append(None)
+                        continue
+                    c = np.asarray(codes, dtype=np.int64)
+                    t = np.asarray(tfs, dtype=np.float64)
+                    idx = np.searchsorted(vocab_codes, c)
+                    w = t * vocab_idf[idx]
+                    w /= np.sqrt((w * w).sum())
+                    ws_col.append(w)
+                    if scodes is None or len(scodes) == 0:
+                        bands_col.append(None)
+                        continue
+                    # minhash over shingle codes (multiply-shift, same
+                    # params as operators.candidates for a given num_perm)
+                    cu = np.asarray(scodes, dtype=np.int64).astype(np.uint64)
+                    sig = (cu[:, None] * perms[None, :]).min(axis=0)
+                    bands = sig.reshape(num_bands, r)
+                    acc = np.zeros(num_bands, dtype=np.uint64)
+                    for col in range(r):
+                        acc = (acc * np.uint64(0x9E3779B97F4A7C15)) ^ bands[:, col]
+                    acc = (acc * mixers) ^ np.arange(num_bands, dtype=np.uint64)
+                    bands_col.append(acc.astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "codes": pdf["codes"],
+                    "ws": ws_col,
+                    "bands": bands_col,
+                }
+            )
+
+    return terms.mapInPandas(run, VEC_SCHEMA)
+
+
+def fast_lsh_dedup(
+    docs: DataFrame,
+    cfg: Optional[MatchConfig] = None,
+    num_perm: int = 128,
+    num_bands: int = 16,
+    max_bucket_size: Optional[int] = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: Optional[int] = None,
+    min_band_matches: int = 1,
+    shingle: str = "char",
+    shingle_words: int = 5,
+) -> DataFrame:
+    """End-to-end flagship: narrow vectorize -> bucket join -> packed exact
+    re-score -> connected components.  Returns (node, component).
+
+    ``min_band_matches``: a pair must collide in at least this many bands to
+    be re-scored.  The expensive part of re-scoring is SHIPPING each
+    candidate's two packed vectors (~10 KB/pair); random low-jaccard pairs
+    that collide in exactly one band are most candidates but few true pairs.
+    Default 1 (no filtering): raising it trades recall for volume and is
+    only safe when the threshold's jaccard floor j makes
+    P(Binom(num_bands, j^r) >= k) ~ 1 — measure on your corpus first (on the
+    synthetic pages corpus, k=2 cut candidates 10x but lost prefix-dup pairs
+    whose jaccard is ~0.6 despite cosine >= 0.8).
+    """
+    from ..operators.grouping import connected_components
+
+    cfg = cfg or MatchConfig()
+    if n_docs is None:
+        n_docs = docs.count()
+    vecs = doc_vectors(
+        docs, cfg, num_perm, num_bands, text_col, id_col, n_docs,
+        shingle=shingle, shingle_words=shingle_words,
+    ).persist()
+    try:
+        buckets = vecs.where(F.col("bands").isNotNull()).select(
+            "doc_id", F.posexplode("bands").alias("band", "key")
+        )
+        if max_bucket_size is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("band", "key")
+            buckets = (
+                buckets.withColumn("_sz", F.count(F.lit(1)).over(w))
+                .where(F.col("_sz") <= max_bucket_size)
+                .drop("_sz")
+            )
+        bl = buckets.select("band", "key", F.col("doc_id").alias(LEFT))
+        br = buckets.select("band", "key", F.col("doc_id").alias(RIGHT))
+        collisions = (
+            bl.join(br, ["band", "key"])
+            .where(F.col(LEFT) < F.col(RIGHT))
+            .groupBy(LEFT, RIGHT)
+            .agg(F.count(F.lit(1)).alias("_nbands"))
+        )
+        cand = collisions.where(F.col("_nbands") >= int(min_band_matches)).select(LEFT, RIGHT)
+        pl = vecs.select(F.col("doc_id").alias(LEFT), F.col("codes").alias("_g1"), F.col("ws").alias("_w1"))
+        pr = vecs.select(F.col("doc_id").alias(RIGHT), F.col("codes").alias("_g2"), F.col("ws").alias("_w2"))
+        pairs = (
+            cand.join(pl, LEFT)
+            .join(pr, RIGHT)
+            .select(LEFT, RIGHT, _sparse_dot("_g1", "_w1", "_g2", "_w2").alias(SIM))
+            .where(F.col(SIM) >= float(cfg.min_similarity))
+        )
+        nodes = docs.select(F.col(id_col))
+        return connected_components(
+            pairs.select(F.col(LEFT).alias("u"), F.col(RIGHT).alias("v")), nodes
+        )
+    finally:
+        vecs.unpersist()

@@ -1,0 +1,118 @@
+"""fast_dedup plan: numeric equivalence with the generic posting-join path
+and cluster-level equivalence of the end-to-end pipeline."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from string_grouper_spark.config import MatchConfig
+from string_grouper_spark.functions.tfidf import tfidf_postings
+from string_grouper_spark.plans.fast_dedup import (
+    doc_term_arrays,
+    doc_vectors,
+    fast_lsh_dedup,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+
+
+def test_term_arrays_match_generic_tf(spark, docs):
+    cfg = MatchConfig()
+    terms = doc_term_arrays(docs.limit(50), cfg).toPandas().set_index("doc_id")
+    from string_grouper_spark.functions.normalize import py_ngrams
+
+    pdf = docs.limit(50).toPandas().set_index("doc_id")["text"]
+    for doc_id, text in pdf.items():
+        grams = py_ngrams(text, cfg)
+        expected = pd.Series(grams).value_counts()
+        got_codes = terms.loc[doc_id, "codes"]
+        got_tfs = dict(zip(got_codes, terms.loc[doc_id, "tfs"]))
+        assert len(got_codes) == len(expected)
+        for gram, cnt in expected.items():
+            code = int.from_bytes(gram.encode("utf-8"), "big")
+            assert got_tfs[code] == cnt, (doc_id, gram)
+
+
+def test_vector_weights_match_generic_postings(spark, docs):
+    cfg = MatchConfig()
+    sub = docs.limit(100)
+    n = sub.count()
+    vecs = doc_vectors(sub, cfg, n_docs=n).toPandas().set_index("doc_id")
+    postings, _, _ = tfidf_postings(sub, None, cfg, id_col="doc_id", n_master=n)
+    ppdf = postings.toPandas()
+    for doc_id, grp in ppdf.groupby("doc_id"):
+        want = {
+            int.from_bytes(g.encode("utf-8"), "big"): w
+            for g, w in zip(grp["gram"], grp["w"])
+        }
+        got = dict(zip(vecs.loc[doc_id, "codes"], vecs.loc[doc_id, "ws"]))
+        assert set(got) == set(want)
+        for code, w in want.items():
+            assert abs(got[code] - w) < 1e-12
+
+
+def test_fast_pipeline_matches_generic_clusters(spark, docs):
+    from string_grouper_spark.operators.dedup import lsh_dedup_clusters
+
+    cfg = MatchConfig(min_similarity=0.8, max_n_matches=1_000_000)
+    generic = (
+        lsh_dedup_clusters(docs, cfg, num_bands=16, n_docs=500)
+        .toPandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    fast = (
+        fast_lsh_dedup(docs, cfg, num_bands=16, n_docs=500)
+        .toPandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    # same partition of docs into clusters (labels are both component minima)
+    pd.testing.assert_frame_equal(generic, fast)
+
+
+def test_fast_pipeline_recall_vs_exact(spark, docs):
+    from string_grouper_spark.operators.dedup import near_duplicate_pairs
+
+    cfg = MatchConfig(min_similarity=0.5, max_n_matches=1_000_000)
+    exact = near_duplicate_pairs(docs, cfg, n_docs=500).toPandas()
+    # union-find the exact pairs -> expected components
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for _, r in exact.iterrows():
+        a, b = find(int(r.master_side)), find(int(r.dupe_side))
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    # low-threshold run: band-count prefilter disabled (min_band_matches=1)
+    fast = fast_lsh_dedup(
+        docs, cfg, num_perm=128, num_bands=64, n_docs=500, min_band_matches=1
+    ).toPandas()
+    got = dict(zip(fast.node, fast.component))
+    # pair-level recall of clustering vs exact-path clustering
+    total = hit = 0
+    ids = sorted(got)
+    exact_lbl = {i: find(i) for i in ids}
+    from collections import defaultdict
+
+    ecl, gcl = defaultdict(list), defaultdict(list)
+    for i in ids:
+        ecl[exact_lbl[i]].append(i)
+        gcl[got[i]].append(i)
+    epairs = {(a, b) for m in ecl.values() for ai, a in enumerate(m) for b in m[ai + 1:]}
+    gpairs = {(a, b) for m in gcl.values() for ai, a in enumerate(m) for b in m[ai + 1:]}
+    assert epairs, "expected some exact clusters"
+    recall = len(epairs & gpairs) / len(epairs)
+    assert recall >= 0.99, recall

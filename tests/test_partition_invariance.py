@@ -1,0 +1,72 @@
+"""Partition-count invariance — the Spark analogue of the reference's
+blocking-equivalence tests (test_string_grouper.py:120-336): any partitioning
+of the inputs must produce row-identical results, because top-n runs after
+the global aggregation (the zip-merge invariant, SURVEY §2.2 C2)."""
+
+import pandas as pd
+import pandas.testing as pdt
+import pytest
+from pyspark.sql import functions as F
+
+from string_grouper_spark.config import MatchConfig
+from string_grouper_spark.operators.dedup import (
+    lsh_dedup_clusters,
+    near_duplicate_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    cols = list(pdf.columns)
+    out = pdf.sort_values(cols).reset_index(drop=True)
+    out["similarity"] = out["similarity"].round(9)
+    return out
+
+
+def test_exact_pairs_invariant_to_partitioning(spark, docs):
+    cfg = MatchConfig(min_similarity=0.5, max_n_matches=1_000_000)
+    results = []
+    for nparts in (1, 7, 64):
+        d = docs.repartition(nparts)
+        results.append(canon(near_duplicate_pairs(d, cfg, n_docs=500).toPandas()))
+    pdt.assert_frame_equal(results[0], results[1])
+    pdt.assert_frame_equal(results[0], results[2])
+
+
+def test_exact_pairs_invariant_to_shuffle_partitions(spark, docs):
+    cfg = MatchConfig(min_similarity=0.5, max_n_matches=1_000_000)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = canon(near_duplicate_pairs(docs, cfg, n_docs=500).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "57")
+        b = canon(near_duplicate_pairs(docs, cfg, n_docs=500).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    pdt.assert_frame_equal(a, b)
+
+
+def test_topn_invariant_to_partitioning(spark, docs):
+    # the sharp case: max_n_matches small enough to actually truncate
+    cfg = MatchConfig(min_similarity=0.3, max_n_matches=3)
+    outs = []
+    for nparts in (2, 31):
+        d = docs.limit(200).repartition(nparts)
+        outs.append(canon(near_duplicate_pairs(d, cfg, n_docs=200).toPandas()))
+    pdt.assert_frame_equal(outs[0], outs[1])
+
+
+def test_lsh_clusters_invariant_to_partitioning(spark, docs):
+    cfg = MatchConfig(min_similarity=0.8, max_n_matches=1_000_000)
+    outs = []
+    for nparts in (1, 16):
+        d = docs.repartition(nparts)
+        labels = lsh_dedup_clusters(d, cfg, num_bands=16, n_docs=500).toPandas()
+        outs.append(labels.sort_values("doc_id").reset_index(drop=True))
+    pdt.assert_frame_equal(outs[0], outs[1])

@@ -1,0 +1,85 @@
+"""Physical-plan assertions: the properties that make the engine scale must
+be visible in `.explain` output, not just claimed (task brief: "iterate until
+it's the plan you'd want")."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from string_grouper_spark.config import MatchConfig
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(df, execute: bool = True) -> str:
+    # under AQE the physical tree is only final after execution; the noop
+    # writer executes THIS DataFrame's own queryExecution
+    if execute:
+        df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_filter_pushdown_to_parquet_scan(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        F.col("doc_id") < 100
+    ).select("doc_id", "text")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan, plan
+    # column pruning: lang/source/n_chars never read
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "lang" not in read and "n_chars" not in read
+
+
+def test_exact_path_has_no_python_udf_when_ascii(spark, docs):
+    # with assume_ascii the whole tokenize->postings->join plan is JVM-only
+    from string_grouper_spark.functions.tfidf import tfidf_postings
+    from string_grouper_spark.operators.similarity import cosine_join
+
+    cfg = MatchConfig()
+    p, _, _ = tfidf_postings(docs, None, cfg, id_col="doc_id", assume_ascii=True)
+    edges = cosine_join(p, p, 0.8, self_join=True)
+    plan = plan_of(edges)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_cosine_join_has_partial_aggregation(spark, docs):
+    # sum(w_l*w_r) must have a map-side partial agg before the shuffle
+    from string_grouper_spark.functions.tfidf import tfidf_postings
+    from string_grouper_spark.operators.similarity import cosine_join
+
+    cfg = MatchConfig()
+    p, _, _ = tfidf_postings(docs, None, cfg, id_col="doc_id", assume_ascii=True)
+    plan = plan_of(cosine_join(p, p, 0.8, self_join=True))
+    assert "partial_sum" in plan, plan
+
+
+def test_whole_stage_codegen_in_tokenize(spark, docs):
+    # AQE wraps the tree and hides codegen markers in toString; disable it
+    # for this one inspection — the plan shape is identical
+    from string_grouper_spark.functions.tfidf import term_frequencies, tokenize
+
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        cfg = MatchConfig()
+        tf = term_frequencies(tokenize(docs, cfg, id_col="doc_id", assume_ascii=True))
+        plan = plan_of(tf, execute=False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    # '*(n)' prefixes mark whole-stage-codegen spans in the physical tree
+    assert "*(1)" in plan and "*(2)" in plan, plan[:600]
+    # map-side partial aggregation before the exchange
+    assert "partial_count" in plan
+
+
+def test_ann_broadcasts_query_side(spark):
+    from string_grouper_spark.operators.ann import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = cosine_topk_bruteforce(emb, emb.limit(10), k=3)
+    plan = plan_of(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan

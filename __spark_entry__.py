@@ -54,13 +54,13 @@ def q_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3: connected components of the 0.5-similarity graph (min-id label)."""
     labels = dedup_ops.components_only(_docs(spark, sf_dir), _cfg(0.5))
-    return labels.select(F.col("node").alias("doc_id"), F.col("component").alias("component"))
+    return labels.select("doc_id", "component")
 
 
 def q_groups_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: group_similar_strings semantics — centroid representative per doc."""
     labels = dedup_ops.near_duplicate_clusters(_docs(spark, sf_dir), _cfg(0.5))
-    return labels.select(F.col("node").alias("doc_id"), F.col("group_rep").alias("group_rep"))
+    return labels.select("doc_id", "group_rep")
 
 
 def q_most_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,9 +231,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full near-dup clustering of sf0.001 documents."""
     sf_dir = "/root/testdata/sf0.001"
     labels = dedup_ops.near_duplicate_clusters(_docs(spark, sf_dir), _cfg(0.5))
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("group_rep").alias("group_rep")
-    )
+    return labels.select("doc_id", "group_rep")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -11,7 +11,8 @@ Queries (the engine's production shapes):
   exact_pairs_1k  exact all-pairs TF-IDF join on a 1000-doc slice (parity path)
   simhash_cand    SimHash signatures + hamming-ball candidate join
   substring       suffix-window containment pass
-  ann_topk        brute-force cosine top-10 over embeddings
+  ann_topk        sign-LSH bucketed cosine top-10 over embeddings (+ recall
+                  vs the brute-force oracle on a 100-query sample)
   text_stats      language-id + quality + fingerprint full scan
 """
 
@@ -80,7 +81,20 @@ def main() -> None:
         "substring",
         lambda: candidates.substring_containment(docs, cfg, anchor_len=24).count(),
     )
-    timed("ann_topk", lambda: ann.cosine_topk_bruteforce(emb, k=10).count())
+    # ANN headline = the SCALE path (sign-LSH bucketed equi-join), not the
+    # O(n^2) broadcast cross-join; brute force serves only as the recall
+    # oracle on a 100-query sample below.
+    dim = len(emb.first()["embedding"])
+    lsh_topk = lambda: ann.lsh_cosine_topk(
+        emb, dim=dim, k=10, num_tables=32, planes_per_table=4
+    )
+    timed("ann_topk", lambda: lsh_topk().count())
+    sample_q = emb.where(F.col("vec_id") < 100)
+    oracle = ann.cosine_topk_bruteforce(emb, sample_q, k=10).toPandas()
+    got = lsh_topk().where(F.col("query_id") < 100).toPandas()
+    opairs = set(zip(oracle.query_id, oracle.item_id))
+    gpairs = set(zip(got.query_id, got.item_id))
+    counters["ann_recall_pct"] = round(100.0 * len(opairs & gpairs) / max(1, len(opairs)), 2)
     timed(
         "text_stats",
         lambda: text_stats.fingerprint(

@@ -146,7 +146,7 @@ def checkpointed_dedup_pipeline(
 ) -> DataFrame:
     """The flagship pipeline cut at its natural shuffle boundaries
     (SURVEY §3: corpus -> postings -> pairs -> components -> labels), each
-    stage resumable.  Returns (node, group_rep)."""
+    stage resumable.  Returns (<id_col>, group_rep)."""
     from .functions.tfidf import build_postings, corpus_idf, term_frequencies, tokenize
     from .operators.grouping import group_labels
     from .operators.matching import match_edges
@@ -186,7 +186,9 @@ def checkpointed_dedup_pipeline(
     )
     labels = ck.stage(
         "labels",
-        lambda: group_labels(edges, docs.select(F.col(id_col).alias("row_id")), cfg),
+        lambda: group_labels(
+            edges, docs.select(F.col(id_col).alias("row_id")), cfg
+        ).withColumnRenamed("node", id_col),
         upstream_fps=[ck.stage_fingerprint("edges")],
     )
     return labels

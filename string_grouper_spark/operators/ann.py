@@ -42,6 +42,7 @@ def cosine_topk_bruteforce(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_self_search_rows: Optional[int] = 50_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors: (query_id, item_id, cos) per query.
 
@@ -49,8 +50,22 @@ def cosine_topk_bruteforce(
     The smaller side should be the query side — it is broadcast, making the
     pairwise scoring a map-only stage; the only shuffle is the top-k window
     on query_id.
+
+    This is the EXACT BASELINE / recall oracle, O(|queries| * |items|): for
+    full self-search it broadcasts the whole corpus and cross-joins it with
+    itself, so above ``max_self_search_rows`` it refuses and points at
+    ``lsh_cosine_topk`` (pass ``None`` to override for oracle runs).
     """
     self_search = queries is None
+    if self_search and max_self_search_rows is not None:
+        probe = items.limit(max_self_search_rows + 1).count()
+        if probe > max_self_search_rows:
+            raise ValueError(
+                f"cosine_topk_bruteforce self-search on > {max_self_search_rows} "
+                "rows is an O(n^2) full-corpus broadcast cross-join; use "
+                "lsh_cosine_topk (scale path) or pass max_self_search_rows=None "
+                "to force the exact baseline."
+            )
     qs = queries if queries is not None else items
     it = with_unit_vectors(items.select(F.col(id_col).alias("item_id"), vec_col), vec_col)
     qu = with_unit_vectors(qs.select(F.col(id_col).alias("query_id"), vec_col), vec_col)

@@ -133,31 +133,91 @@ def lsh_bucket_stats(bands: DataFrame) -> DataFrame:
     )
 
 
-def _bucket_pairs(buckets: DataFrame, max_bucket_size: Optional[int]) -> DataFrame:
+def bucket_drop_stats(
+    buckets: DataFrame, max_bucket_size: Optional[int], id_col: str = DOC
+) -> dict:
+    """Recall accounting for the hot-bucket guard: what does dropping buckets
+    larger than ``max_bucket_size`` cost?  Returns counts of dropped buckets,
+    member rows, and the implied candidate pairs (s*(s-1)/2 per bucket) —
+    one small aggregation job, meant to be LOGGED with every production run
+    so bucket drops are never silent (SURVEY §4.2(2))."""
+    if max_bucket_size is None:
+        return {"n_buckets_dropped": 0, "n_rows_dropped": 0, "est_pairs_dropped": 0}
+    sizes = buckets.groupBy("band", "key").agg(F.count(F.lit(1)).alias("sz"))
+    row = (
+        sizes.where(F.col("sz") > max_bucket_size)
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.coalesce(F.sum("sz"), F.lit(0)).alias("nr"),
+            F.coalesce(F.sum(F.col("sz") * (F.col("sz") - 1) / 2), F.lit(0)).alias("np"),
+        )
+        .first()
+    )
+    return {
+        "n_buckets_dropped": int(row["nb"]),
+        "n_rows_dropped": int(row["nr"]),
+        "est_pairs_dropped": int(row["np"]),
+    }
+
+
+def _salted_self_pairs(buckets: DataFrame, salt_above: Optional[int]) -> DataFrame:
+    """Self-join a (band, key, <doc>, _sz) bucket table into pairs l<r.
+
+    ``salt_above``: buckets larger than this are SALTED — members get
+    ``nsalt = ceil(sz / salt_above)`` deterministic salt groups, the left
+    side is replicated once per target salt, and the join key becomes
+    (band, key, salt).  Every pair (a,b) with a<b is still emitted exactly
+    once (by a's replica targeted at b's salt), but no single shuffle
+    partition receives a whole megabucket — the s^2 work is spread over
+    nsalt^2 tasks instead of one (SURVEY §4.2(2) hot-band salting).
+    """
+    if salt_above is None:
+        l = buckets.select("band", "key", F.col(DOC).alias(LEFT))
+        r = buckets.select("band", "key", F.col(DOC).alias(RIGHT))
+        return (
+            l.join(r, ["band", "key"])
+            .where(F.col(LEFT) < F.col(RIGHT))
+            .select(LEFT, RIGHT)
+        )
+    nsalt = F.ceil(F.col("_sz") / F.lit(int(salt_above))).cast("int")
+    salted = buckets.withColumn("_nsalt", nsalt).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(DOC)), F.col("_nsalt")).cast("int")
+    )
+    l = salted.select(
+        "band",
+        "key",
+        F.col(DOC).alias(LEFT),
+        F.explode(F.sequence(F.lit(0), F.col("_nsalt") - 1)).alias("_salt"),
+    )
+    r = salted.select("band", "key", F.col(DOC).alias(RIGHT), "_salt")
+    return (
+        l.join(r, ["band", "key", "_salt"])
+        .where(F.col(LEFT) < F.col(RIGHT))
+        .select(LEFT, RIGHT)
+    )
+
+
+def _bucket_pairs(
+    buckets: DataFrame,
+    max_bucket_size: Optional[int],
+    salt_above: Optional[int] = None,
+) -> DataFrame:
     """Self-join bucket table (cols: band, key, doc_id) -> distinct pairs l<r.
 
     Buckets above ``max_bucket_size`` are dropped (hot-key guard): a bucket
     of size s contributes s^2/2 join rows, so one megabucket can dominate the
-    whole job.  Dropped buckets are near-stop-gram collisions; recall impact
-    is measured by the caller's recall tests, never silently assumed.
+    whole job.  Drop impact is observable via ``bucket_drop_stats`` — never
+    silently assumed.  Buckets above ``salt_above`` (but within the cap) are
+    salted rather than skewing one task (``_salted_self_pairs``).
     """
-    if max_bucket_size is not None:
+    if max_bucket_size is not None or salt_above is not None:
         from pyspark.sql import Window
 
         w = Window.partitionBy("band", "key")
-        buckets = (
-            buckets.withColumn("_sz", F.count(F.lit(1)).over(w))
-            .where(F.col("_sz") <= max_bucket_size)
-            .drop("_sz")
-        )
-    l = buckets.select("band", "key", F.col(DOC).alias(LEFT))
-    r = buckets.select("band", "key", F.col(DOC).alias(RIGHT))
-    return (
-        l.join(r, ["band", "key"])
-        .where(F.col(LEFT) < F.col(RIGHT))
-        .select(LEFT, RIGHT)
-        .dropDuplicates([LEFT, RIGHT])
-    )
+        buckets = buckets.withColumn("_sz", F.count(F.lit(1)).over(w))
+        if max_bucket_size is not None:
+            buckets = buckets.where(F.col("_sz") <= max_bucket_size)
+    return _salted_self_pairs(buckets, salt_above).dropDuplicates([LEFT, RIGHT])
 
 
 def minhash_candidates(
@@ -357,47 +417,97 @@ def jaccard_pairs(
 # Exact substring containment (suffix-window index + verify)
 # --------------------------------------------------------------------------
 
+def _substring_params(anchor_len: int, window_len: Optional[int], stride: Optional[int]):
+    """Derive (window_len k, stride w) with the guaranteed-hit constraint
+    k + 2w - 2 <= anchor_len (see substring_containment proof)."""
+    k = window_len if window_len is not None else max(6, anchor_len // 3)
+    if k > anchor_len:
+        raise ValueError("window_len must be <= anchor_len")
+    w = stride if stride is not None else (anchor_len - k) // 2 + 1
+    if k + 2 * w - 2 > anchor_len:
+        raise ValueError(
+            f"window_len={k}, stride={w} break the guaranteed-hit bound "
+            f"k + 2*stride - 2 <= anchor_len ({anchor_len})"
+        )
+    return k, max(1, w)
+
+
+def _window_hashes(norm_col, k: int):
+    """array<long>: xxhash64 of every length-k char window of ``norm_col``."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(norm_col) - (k - 1)),
+        lambda i: F.xxhash64(F.substring(norm_col, i, k)),
+    )
+
+
 def substring_containment(
     docs: DataFrame,
     cfg: MatchConfig,
     anchor_len: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    window_len: Optional[int] = None,
+    stride: Optional[int] = None,
 ) -> DataFrame:
     """All (inner_id, outer_id) where inner's normalized text is a substring
-    of outer's (inner != outer, len(inner_norm) >= anchor_len).
+    of outer's (inner != outer, len(inner_norm) >= anchor_len).  EXACT: every
+    candidate is verified with a JVM ``locate``.
 
-    Distributed strategy (the suffix-array role from the north rule, built
-    from DataFrame ops): index EVERY length-``anchor_len`` window hash of
-    every doc (the rank-1 layer of a suffix array); a contained doc's first
-    window must hit the index; candidates are then verified exactly with a
-    JVM ``locate`` — so output is exact, not approximate.
+    Distributed strategy (the suffix-array role from the north rule) with
+    WINNOWING-SAMPLED fingerprints — the full positional index (one row per
+    char of the corpus: O(total bytes) shuffle) is replaced by:
+
+      * index side (outer docs): the min window-hash of each NON-OVERLAPPING
+        stripe of ``stride`` consecutive length-``window_len`` windows —
+        ~stride x fewer rows than the every-position index;
+      * anchor side (inner docs): the distinct SLIDING-window minima
+        (winnowing fingerprints, Schleimer et al. SIGMOD'03) with the same
+        stripe width.
+
+    Guaranteed hit: if inner (normalized length L >= window_len + 2*stride-2,
+    implied by L >= anchor_len under the derived parameters) occurs in outer
+    at any offset, the covered region spans >= 2*stride-1 consecutive outer
+    window positions and therefore contains one FULL aligned outer stripe;
+    that stripe's min is the min of ``stride`` consecutive window hashes of
+    inner, i.e. one of inner's sliding-window minima — so the equi-join on
+    fingerprint hash cannot miss a true containment.  False candidates are
+    killed by the exact verify.
     """
     from ..functions.normalize import normalize_expr
 
+    k, w = _substring_params(anchor_len, window_len, stride)
     norm = docs.select(
         F.col(id_col).alias(DOC),
         normalize_expr(F.col(text_col), cfg).alias("norm"),
     ).persist()
     long_enough = norm.where(F.length("norm") >= anchor_len)
-    # anchor: hash of the first window of each sufficiently long doc
-    anchors = long_enough.select(
+    hashed = long_enough.select(DOC, "norm", _window_hashes(F.col("norm"), k).alias("whs"))
+    nw = F.size("whs")
+    # anchors: winnowing fingerprints (distinct sliding minima) of inner docs
+    anchors = hashed.select(
         F.col(DOC).alias("inner_id"),
-        F.xxhash64(F.substring("norm", 1, anchor_len)).alias("wh"),
         F.col("norm").alias("inner_norm"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), nw - (w - 1)),
+                    lambda i: F.array_min(F.slice(F.col("whs"), i, w)),
+                )
+            )
+        ).alias("wh"),
     )
-    # index: hash of every window of every doc
-    windows = long_enough.select(
+    # index: one min-hash per aligned stripe of w window positions
+    index = hashed.select(
         F.col(DOC).alias("outer_id"),
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.length("norm") - (anchor_len - 1)),
-                lambda i: F.xxhash64(F.substring(F.col("norm"), i, anchor_len)),
+                F.sequence(F.lit(0), F.floor((nw - 1) / w).cast("int")),
+                lambda s: F.array_min(F.slice(F.col("whs"), s * w + 1, w)),
             )
         ).alias("wh"),
     ).dropDuplicates(["outer_id", "wh"])
     cand = (
-        anchors.join(windows, "wh")
+        anchors.join(index, "wh")
         .where(F.col("inner_id") != F.col("outer_id"))
         .select("inner_id", "outer_id", "inner_norm")
         .dropDuplicates(["inner_id", "outer_id"])

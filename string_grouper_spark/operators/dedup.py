@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import MatchConfig
-from .grouping import group_labels
+from .grouping import NODE, group_labels
 from .matching import match_edges
 from .similarity import LEFT, RIGHT, SIM
 
@@ -65,8 +65,10 @@ def near_duplicate_clusters(
 ) -> DataFrame:
     """Full dedup pipeline: match -> symmetrize -> CC -> representative.
 
-    Returns (node, group_rep): every doc labeled with its cluster's
+    Returns (<id_col>, group_rep): every doc labeled with its cluster's
     representative doc id (reference group_similar_strings semantics).
+    All dedup pipelines in this module name their id output column after
+    ``id_col`` so downstream code never has to know about internal labels.
     """
     cfg = cfg or MatchConfig()
     ids = docs.select(F.col(id_col).alias("row_id"))
@@ -76,7 +78,7 @@ def near_duplicate_clusters(
         cfg,  # force_symmetries per config: diagonal + mirror repair
         n_master=n_docs,
     )
-    return group_labels(edges, ids, cfg)
+    return group_labels(edges, ids, cfg).withColumnRenamed(NODE, id_col)
 
 
 def lsh_dedup_clusters(
@@ -88,13 +90,15 @@ def lsh_dedup_clusters(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_docs: Optional[int] = None,
+    salt_above: Optional[int] = None,
+    drop_stats: Optional[dict] = None,
 ) -> DataFrame:
     """The WEB-SCALE flagship: MinHash-LSH candidates -> exact TF-IDF
     re-score -> connected components.  Same output contract as
     ``near_duplicate_clusters`` but never materializes the all-pairs gram
     join — cost scales with candidate count, not corpus^2.
 
-    Returns (node, component) with component = min doc id in cluster.
+    Returns (<id_col>, component) with component = min doc id in cluster.
 
     Plan economy: the corpus is tokenized ONCE (persisted) and both the
     MinHash signatures and the exact-re-score postings derive from that same
@@ -102,7 +106,12 @@ def lsh_dedup_clusters(
     is the most expensive narrow stage, so it must not run twice.
     """
     from ..functions.tfidf import tfidf_postings_from_tokens, tokenize
-    from .candidates import _bucket_pairs, minhash_bands_from_tokens, rescored_pairs
+    from .candidates import (
+        _bucket_pairs,
+        bucket_drop_stats,
+        minhash_bands_from_tokens,
+        rescored_pairs,
+    )
     from .grouping import connected_components
 
     cfg = cfg or MatchConfig()
@@ -111,13 +120,15 @@ def lsh_dedup_clusters(
     tokens = tokenize(docs, cfg, text_col=text_col, id_col=id_col).persist()
     try:
         bands = minhash_bands_from_tokens(tokens, num_perm, num_bands)
-        cand = _bucket_pairs(bands, max_bucket_size)
+        if drop_stats is not None:
+            drop_stats.update(bucket_drop_stats(bands, max_bucket_size))
+        cand = _bucket_pairs(bands, max_bucket_size, salt_above=salt_above)
         postings = tfidf_postings_from_tokens(tokens, n_docs, cfg)
         pairs = rescored_pairs(docs, cand, cfg, postings=postings)
         nodes = docs.select(F.col(id_col))
         return connected_components(
             pairs.select(F.col(LEFT).alias("u"), F.col(RIGHT).alias("v")), nodes
-        )
+        ).withColumnRenamed(NODE, id_col)
     finally:
         # labels are localCheckpoint-ed inside connected_components, so the
         # token cache is no longer needed by the returned DataFrame
@@ -131,7 +142,7 @@ def components_only(
     id_col: str = "doc_id",
     n_docs: Optional[int] = None,
 ) -> DataFrame:
-    """(node, component) labels where component = min doc id in cluster —
+    """(<id_col>, component) labels where component = min doc id in cluster —
     the deterministic integer labeling (no float-weighted rep selection)."""
     from .grouping import connected_components
 
@@ -140,4 +151,4 @@ def components_only(
     nodes = docs.select(F.col(id_col))
     return connected_components(
         pairs.select(F.col(LEFT).alias("u"), F.col(RIGHT).alias("v")), nodes
-    )
+    ).withColumnRenamed(NODE, id_col)

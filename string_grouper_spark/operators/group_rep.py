@@ -43,10 +43,37 @@ def _rep_by_weight(
 
 
 def _with_pos(df: DataFrame, pos_col: Optional[str]) -> DataFrame:
+    """Attach the deterministic tie-break position column.
+
+    Without ``pos_col`` positions are derived zipWithIndex-style (partition
+    sizes counted once, then a per-partition running number offset by the
+    cumulative size) — NEVER via an unpartitioned global window, which would
+    funnel the whole table through one task.
+    """
     if pos_col is not None:
         return df.withColumn("_pos", F.col(pos_col))
-    w = Window.orderBy(F.monotonically_increasing_id())
-    return df.withColumn("_pos", F.row_number().over(w))
+    sizes = (
+        df.select(F.spark_partition_id().alias("_pid"))
+        .groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .toPandas()
+        .sort_values("_pid")
+    )
+    offsets = dict(zip(sizes["_pid"], sizes["_cnt"].cumsum() - sizes["_cnt"]))
+    spark = df.sparkSession
+    offsets_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(w))
+        .join(offsets_df, "_pid")
+        .withColumn("_pos", F.col("_off") + F.col("_rn"))
+        .drop("_pid", "_rn", "_off")
+    )
 
 
 def group_rep_by_earliest_timestamp(
@@ -117,36 +144,73 @@ def _get_column(col, data: pd.DataFrame):
     raise TypeError(col)
 
 
-def _parse_timestamps(timestamps: pd.Series) -> pd.Series:
-    """Reference parse_timestamps (SGU:139-155) without dateutil dependency:
-    pandas' mixed-format parser covers the reference fixtures (mixed-tz ISO
-    strings, Timestamps, datetimes, numbers)."""
+def _parse_timestamps(timestamps: pd.Series, parserinfo=None, **kwargs) -> pd.Series:
+    """Reference parse_timestamps semantics (SGU:139-155): dateutil-grade
+    parsing of arbitrary date-like strings (fuzzy formats like
+    '11 August 2016 at 3:00pm' included), with an optional ``parserinfo``
+    forwarded to ``dateutil.parser.parse``; pandas Timestamps, datetimes and
+    plain numbers pass through as comparable weights."""
+    from datetime import datetime, timezone
     from numbers import Number
 
-    if timestamps.map(lambda x: isinstance(x, str)).all():
-        parsed = pd.to_datetime(timestamps, utc=True, format="mixed")
-        return parsed
-    if timestamps.map(lambda x: isinstance(x, Number)).all():
+    from dateutil.parser import parse
+
+    error_msg = (
+        "timestamps must be a Series of date-like or datetime-like strings"
+        " or datetime datatype or pandas Timestamp datatype or numbers"
+    )
+
+    def _all(tp) -> bool:
+        return not timestamps.map(lambda x: not isinstance(x, tp)).any()
+
+    def _is_date(s: str) -> bool:
+        try:
+            parse(s, parserinfo, **kwargs)
+            return True
+        except (ValueError, OverflowError):
+            return False
+
+    if _all(str):
+        if timestamps.map(_is_date).all():
+            return timestamps.transform(
+                lambda x: parse(x, parserinfo, **kwargs).astimezone(timezone.utc)
+            )
+    elif _all(type(pd.Timestamp("15-1-2000"))):
+        return timestamps.transform(lambda x: x.to_numpy())
+    elif _all(datetime):
+        return timestamps.transform(lambda x: x.astimezone(timezone.utc))
+    elif _all(Number):
         return timestamps
-    return pd.to_datetime(timestamps, utc=True, format="mixed")
+    raise Exception(error_msg)
 
 
 def _group_rep_transform(method, weights, grouped_data, group_col, record_id_col, record_name_col):
-    """Reference group_rep_transform (SGU:106-127)."""
-    stashed_index = grouped_data.index
-    groups = _get_column(group_col, grouped_data).reset_index(drop=True).rename("raw_group_id")
-    frame = groups.to_frame()
-    frame["weight"] = weights.reset_index(drop=True)
-    frame["group_rep"] = frame.groupby("raw_group_id", sort=False)["weight"].transform(method)
-    record_ids = _get_column(record_id_col, grouped_data)
-    new_rep = record_ids.iloc[frame.group_rep].reset_index(drop=True).rename(None)
-    if record_name_col is None:
-        output = new_rep
-    else:
-        names = _get_column(record_name_col, grouped_data)
-        new_rep_name = names.iloc[frame.group_rep].reset_index(drop=True).rename(None)
-        output = pd.concat([new_rep, new_rep_name], axis=1)
-    output.index = stashed_index
+    """Per-group argmin/argmax re-selection (semantics of the reference's
+    group_rep_transform, string_grouper_utils.py:106-127, derived from its
+    golden fixtures — not a transcription).
+
+    Implementation: one stable sort by weight + ``drop_duplicates`` per
+    group picks each group's representative ROW POSITION — the first
+    occurrence of the extreme weight in frame order, exactly pandas
+    idxmin/idxmax tie-break — then every row takes its group rep's id/name.
+    """
+    positions = pd.RangeIndex(len(grouped_data))
+    groups = _get_column(group_col, grouped_data).reset_index(drop=True)
+    frame = pd.DataFrame({"g": groups, "w": weights.reset_index(drop=True), "pos": positions})
+    best = (
+        frame.sort_values("w", ascending=(method == "idxmin"), kind="stable")
+        .drop_duplicates("g")
+        .set_index("g")["pos"]
+    )
+    rep_pos = groups.map(best).to_numpy()
+
+    def take(col):
+        return _get_column(col, grouped_data).iloc[rep_pos].reset_index(drop=True).rename(None)
+
+    output = take(record_id_col)
+    if record_name_col is not None:
+        output = pd.concat([output, take(record_name_col)], axis=1)
+    output.index = grouped_data.index
     return output
 
 
@@ -164,7 +228,7 @@ def new_group_rep_by_earliest_timestamp(
             raise Exception("Both grouped_data and timestamps must be pandas.Series of the same length.")
     else:
         timestamps = _get_column(timestamps, grouped_data)
-    weights = _parse_timestamps(timestamps)
+    weights = _parse_timestamps(timestamps, parserinfo, **kwargs)
     return _group_rep_transform("idxmin", weights, grouped_data, group_col, record_id_col, record_name_col)
 
 

@@ -63,7 +63,24 @@ def match_edges(
     )
     if self_join:
         m_post = m_post.persist()
-        off_diag = cosine_join(m_post, m_post, cfg.min_similarity, self_join=True)
+        if cfg.candidate_max_df_ratio is not None:
+            # stop-gram guard (config.candidate_max_df_ratio): grams hotter
+            # than the ratio are excluded from CANDIDATE GENERATION only;
+            # surviving pairs are re-scored on the full postings, so every
+            # emitted similarity is exact
+            from .similarity import candidate_pairs_from_postings, score_pairs_packed
+
+            n = n_master if n_master is not None else master.count()
+            max_df = max(1, int(cfg.candidate_max_df_ratio * n))
+            cand = candidate_pairs_from_postings(m_post, max_df)
+            half = score_pairs_packed(cand, m_post).where(
+                F.col(SIM) >= float(cfg.min_similarity)
+            )
+            off_diag = half.unionAll(
+                half.select(F.col(RIGHT).alias(LEFT), F.col(LEFT).alias(RIGHT), F.col(SIM))
+            )
+        else:
+            off_diag = cosine_join(m_post, m_post, cfg.min_similarity, self_join=True)
         diag = _self_similarity(m_post).where(F.col(SIM) >= float(cfg.min_similarity))
         edges = top_n_per_left(off_diag.unionAll(diag), cfg.max_n_matches)
         if cfg.force_symmetries:

@@ -271,9 +271,11 @@ def fast_lsh_dedup(
     min_band_matches: int = 1,
     shingle: str = "char",
     shingle_words: int = 5,
+    salt_above: Optional[int] = None,
+    drop_stats: Optional[dict] = None,
 ) -> DataFrame:
     """End-to-end flagship: narrow vectorize -> bucket join -> packed exact
-    re-score -> connected components.  Returns (node, component).
+    re-score -> connected components.  Returns (<id_col>, component).
 
     ``min_band_matches``: a pair must collide in at least this many bands to
     be re-scored.  The expensive part of re-scoring is SHIPPING each
@@ -284,7 +286,14 @@ def fast_lsh_dedup(
     P(Binom(num_bands, j^r) >= k) ~ 1 — measure on your corpus first (on the
     synthetic pages corpus, k=2 cut candidates 10x but lost prefix-dup pairs
     whose jaccard is ~0.6 despite cosine >= 0.8).
+
+    Hot-bucket policy (SURVEY §4.2(2)): buckets above ``max_bucket_size``
+    are dropped; pass a ``drop_stats`` dict to receive the measured cost
+    (buckets/rows/implied-pairs dropped) so drops are never silent.  Buckets
+    above ``salt_above`` (but within the cap) are SALTED — the self-join is
+    spread over ceil(sz/salt_above)^2 sub-tasks instead of skewing one.
     """
+    from ..operators.candidates import _salted_self_pairs, bucket_drop_stats
     from ..operators.grouping import connected_components
 
     cfg = cfg or MatchConfig()
@@ -298,20 +307,17 @@ def fast_lsh_dedup(
         buckets = vecs.where(F.col("bands").isNotNull()).select(
             "doc_id", F.posexplode("bands").alias("band", "key")
         )
-        if max_bucket_size is not None:
+        if drop_stats is not None:
+            drop_stats.update(bucket_drop_stats(buckets, max_bucket_size))
+        if max_bucket_size is not None or salt_above is not None:
             from pyspark.sql import Window
 
             w = Window.partitionBy("band", "key")
-            buckets = (
-                buckets.withColumn("_sz", F.count(F.lit(1)).over(w))
-                .where(F.col("_sz") <= max_bucket_size)
-                .drop("_sz")
-            )
-        bl = buckets.select("band", "key", F.col("doc_id").alias(LEFT))
-        br = buckets.select("band", "key", F.col("doc_id").alias(RIGHT))
+            buckets = buckets.withColumn("_sz", F.count(F.lit(1)).over(w))
+            if max_bucket_size is not None:
+                buckets = buckets.where(F.col("_sz") <= max_bucket_size)
         collisions = (
-            bl.join(br, ["band", "key"])
-            .where(F.col(LEFT) < F.col(RIGHT))
+            _salted_self_pairs(buckets, salt_above)
             .groupBy(LEFT, RIGHT)
             .agg(F.count(F.lit(1)).alias("_nbands"))
         )
@@ -327,6 +333,6 @@ def fast_lsh_dedup(
         nodes = docs.select(F.col(id_col))
         return connected_components(
             pairs.select(F.col(LEFT).alias("u"), F.col(RIGHT).alias("v")), nodes
-        )
+        ).withColumnRenamed("node", id_col)
     finally:
         vecs.unpersist()

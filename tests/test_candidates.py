@@ -109,6 +109,119 @@ def test_substring_containment_exact(spark):
     assert all(p[0] != 3 and p[1] != 3 for p in got)
 
 
+def test_substring_winnowed_matches_bruteforce(spark, docs):
+    # the winnowing-sampled index must still be EXACT: same output as an
+    # O(n^2) containment scan of the normalized corpus
+    from string_grouper_spark.functions.normalize import py_normalize
+
+    cfg = MatchConfig()
+    out = cand.substring_containment(docs, cfg, anchor_len=16).toPandas()
+    got = set(zip(out["inner_id"], out["outer_id"]))
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    norms = {int(r.doc_id): py_normalize(r.text, cfg) for r in pdf.itertuples()}
+    want = {
+        (i, j)
+        for i, ni in norms.items()
+        if len(ni) >= 16
+        for j, nj in norms.items()
+        if i != j and ni in nj
+    }
+    assert got == want
+
+
+def test_substring_index_row_reduction(spark, docs):
+    # winnowing cuts the positional index by ~stride x vs every-position
+    from string_grouper_spark.functions.normalize import normalize_expr
+
+    cfg = MatchConfig()
+    anchor_len = 24
+    k, w = cand._substring_params(anchor_len, None, None)
+    norm = docs.select(normalize_expr(F.col("text"), cfg).alias("norm")).where(
+        F.length("norm") >= anchor_len
+    )
+    nw = F.length("norm") - (k - 1)
+    row = norm.agg(
+        F.sum(nw).alias("full_positions"),
+        F.sum(F.floor((nw - 1) / w) + 1).alias("sampled"),
+    ).first()
+    ratio = row["full_positions"] / row["sampled"]
+    assert ratio >= 8, ratio
+
+
+def test_salted_bucket_join_equals_plain(spark):
+    # salting must re-shard the self-join WITHOUT changing the pair set
+    pdf = pd.DataFrame(
+        {
+            "band": [0] * 12 + [1] * 4,
+            "key": [7] * 12 + [9] * 4,
+            "doc_id": list(range(12)) + [1, 5, 20, 21],
+        }
+    )
+    buckets = spark.createDataFrame(pdf)
+    plain = cand._bucket_pairs(buckets, None).toPandas()
+    salted = cand._bucket_pairs(buckets, None, salt_above=3).toPandas()
+    key = lambda d: set(zip(d[LEFT], d[RIGHT]))
+    assert key(plain) == key(salted)
+    assert len(salted) == len(plain)  # exactly-once emission
+
+
+def test_megabucket_drop_accounting_and_salting(spark):
+    # a boilerplate megabucket must (a) be visible in drop_stats when capped
+    # and (b) survive fully when salted instead of dropped
+    from string_grouper_spark.operators.dedup import lsh_dedup_clusters
+
+    boiler = ["copyright terms and conditions apply to all pages here"] * 60
+    family = [
+        "the unique quick brown fox document number one",
+        "the unique quick brown fox document number one!",
+        "something else entirely different from the rest",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(63), "text": boiler + family})
+    docs = spark.createDataFrame(pdf)
+    cfg = MatchConfig(min_similarity=0.8, max_n_matches=1_000_000)
+
+    stats = {}
+    capped = lsh_dedup_clusters(
+        docs, cfg, num_bands=16, max_bucket_size=10, drop_stats=stats
+    ).toPandas()
+    assert stats["n_buckets_dropped"] > 0
+    assert stats["est_pairs_dropped"] >= 60 * 59 / 2
+    # dropped megabucket -> boilerplate docs NOT clustered
+    assert capped.set_index("doc_id")["component"].loc[range(60)].nunique() == 60
+
+    salted = lsh_dedup_clusters(
+        docs, cfg, num_bands=16, max_bucket_size=None, salt_above=10
+    ).toPandas()
+    comp = salted.set_index("doc_id")["component"]
+    # salted path keeps the whole boilerplate family in ONE cluster
+    assert comp.loc[range(60)].nunique() == 1
+    assert comp.loc[60] == comp.loc[61]
+    assert comp.loc[62] == 62
+
+
+def test_candidate_max_df_ratio_prunes_generation_not_scores(spark, docs, exact_pairs):
+    # the stop-gram guard must only SKIP pairs, never change a similarity
+    from string_grouper_spark.operators.similarity import SIM
+
+    cfg = MatchConfig(
+        min_similarity=0.5, max_n_matches=1_000_000, candidate_max_df_ratio=0.2
+    )
+    pruned = near_duplicate_pairs(docs, cfg).toPandas()
+    full = near_duplicate_pairs(
+        docs, MatchConfig(min_similarity=0.5, max_n_matches=1_000_000)
+    ).toPandas()
+    fmap = {(l, r): s for l, r, s in zip(full[LEFT], full[RIGHT], full[SIM])}
+    pmap = {(l, r): s for l, r, s in zip(pruned[LEFT], pruned[RIGHT], pruned[SIM])}
+    assert set(pmap) <= set(fmap)
+    for k, v in pmap.items():
+        assert abs(fmap[k] - v) < 1e-9
+    # recall accounting: near-dups share rare grams, so pruning 20%-df
+    # stop-grams must not cost pairs on this corpus
+    recall = len(pmap) / len(fmap)
+    assert recall >= 0.99, recall
+
+
 def test_simhash_expr_matches_numpy_kernel(spark, docs):
     # the Catalyst simhash must be bit-identical to the numpy reference kernel
     import pyspark.sql.functions as F

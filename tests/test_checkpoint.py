@@ -77,7 +77,7 @@ def test_pipeline_resume_equivalence(spark, docs, tmp_path):
     r1 = checkpointed_dedup_pipeline(spark, docs, cfg, str(tmp_path)).toPandas()
     # second run resumes every stage from disk — result must be identical
     r2 = checkpointed_dedup_pipeline(spark, docs, cfg, str(tmp_path)).toPandas()
-    c = lambda d: d.sort_values("node").reset_index(drop=True)
+    c = lambda d: d.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(c(r1), c(r2))
     # and matches the non-checkpointed pipeline
     from string_grouper_spark.operators.dedup import near_duplicate_clusters

@@ -19,7 +19,11 @@ SF_DIR = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+    yield df
+    # unpersist so later plan-shape tests see a real parquet scan, not an
+    # InMemoryTableScan substituted for the same read
+    df.unpersist()
 
 
 def test_term_arrays_match_generic_tf(spark, docs):
@@ -64,13 +68,13 @@ def test_fast_pipeline_matches_generic_clusters(spark, docs):
     generic = (
         lsh_dedup_clusters(docs, cfg, num_bands=16, n_docs=500)
         .toPandas()
-        .sort_values("node")
+        .sort_values("doc_id")
         .reset_index(drop=True)
     )
     fast = (
         fast_lsh_dedup(docs, cfg, num_bands=16, n_docs=500)
         .toPandas()
-        .sort_values("node")
+        .sort_values("doc_id")
         .reset_index(drop=True)
     )
     # same partition of docs into clusters (labels are both component minima)
@@ -100,7 +104,7 @@ def test_fast_pipeline_recall_vs_exact(spark, docs):
     fast = fast_lsh_dedup(
         docs, cfg, num_perm=128, num_bands=64, n_docs=500, min_band_matches=1
     ).toPandas()
-    got = dict(zip(fast.node, fast.component))
+    got = dict(zip(fast.doc_id, fast.component))
     # pair-level recall of clustering vs exact-path clustering
     total = hit = 0
     ids = sorted(got)

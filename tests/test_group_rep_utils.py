@@ -40,6 +40,57 @@ def test_pandas_earliest_timestamp(customers_df):
     assert got.iloc[:, 0].tolist() == expected_ids
 
 
+def test_pandas_earliest_timestamp_fuzzy_formats(customers_df):
+    # dateutil-grade parsing (reference SGU:139-155): mixed non-ISO formats,
+    # incl. a fuzzy sentence (needs fuzzy=True forwarded to dateutil.parse)
+    df = fixture_df(customers_df)
+    df["timestamp"] = [
+        "30 December 2014 10:55 am",
+        "April 14, 1998 9:21:11",
+        "the 1st of July 2001 at noon",   # fuzzy
+        "28/02/2017 07:17",               # dayfirst-able
+        "11 Nov 2011 11:11AM",
+        "May 18th 1995, 6:25 pm",
+    ]
+    got = new_group_rep_by_earliest_timestamp(
+        df, "group_id", "Customer ID", "timestamp", fuzzy=True
+    )
+    expected = ["EE059082Q", "CC082744L", "CC082744L", "CC082744L", "HH072982K", "EE059082Q"]
+    assert got.tolist() == expected
+
+
+def test_pandas_earliest_timestamp_parserinfo(customers_df):
+    # a custom parserinfo changes interpretation: dayfirst=True flips
+    # 04/07/2001 from April 7 to July 4
+    from dateutil.parser import parserinfo
+
+    df = fixture_df(customers_df)
+    df["group_id"] = ["GX"] * 6
+    df["timestamp"] = [
+        "04/07/2001",  # dayfirst: 4 Jul; monthfirst: 7 Apr
+        "2001-06-01",
+        "2001-08-01",
+        "2001-09-01",
+        "2001-10-01",
+        "2001-11-01",
+    ]
+    default = new_group_rep_by_earliest_timestamp(df, "group_id", "Customer ID", "timestamp")
+    assert default.tolist() == ["BB016741P"] * 6  # Apr 7 is earliest
+    flipped = new_group_rep_by_earliest_timestamp(
+        df, "group_id", "Customer ID", "timestamp", parserinfo=parserinfo(dayfirst=True)
+    )
+    assert flipped.tolist() == ["CC082744L"] * 6  # Jun 1 beats Jul 4
+
+
+def test_pandas_timestamp_bad_strings_raise(customers_df):
+    import pytest
+
+    df = fixture_df(customers_df)
+    df["timestamp"] = ["not a date at all"] + df["timestamp"].tolist()[1:]
+    with pytest.raises(Exception, match="date-like"):
+        new_group_rep_by_earliest_timestamp(df, "group_id", "Customer ID", "timestamp")
+
+
 def test_pandas_highest_weight(customers_df):
     df = fixture_df(customers_df)
     got = new_group_rep_by_highest_weight(df, "group_id", "Customer ID", "weight")

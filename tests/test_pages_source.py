@@ -51,12 +51,12 @@ def test_engine_recovers_true_clusters(spark):
         docs, MatchConfig(min_similarity=0.7, max_n_matches=100)
     ).toPandas()
     truth = df.select("page_id", "true_cluster").toPandas()
-    merged = labels.merge(truth, left_on="node", right_on="page_id")
+    merged = labels.merge(truth, left_on="doc_id", right_on="page_id")
 
     def pairs(frame, col):
         out = set()
         for _, grp in frame.groupby(col):
-            ids = sorted(grp["node"])
+            ids = sorted(grp["doc_id"])
             out |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]}
         return out
 

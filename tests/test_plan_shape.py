@@ -24,6 +24,10 @@ def docs(spark):
 
 
 def test_filter_pushdown_to_parquet_scan(spark):
+    # a persisted DataFrame over the same parquet read (left by an earlier
+    # test module) would substitute an InMemoryTableScan for the file scan
+    # and hide PushedFilters — drop all cached plans first
+    spark.catalog.clearCache()
     df = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
         F.col("doc_id") < 100
     ).select("doc_id", "text")
@@ -74,6 +78,20 @@ def test_whole_stage_codegen_in_tokenize(spark, docs):
     assert "*(1)" in plan and "*(2)" in plan, plan[:600]
     # map-side partial aggregation before the exchange
     assert "partial_count" in plan
+
+
+def test_group_rep_never_collapses_to_single_partition(spark):
+    # the pos_col-less fallback must derive positions zipWithIndex-style,
+    # never via an unpartitioned global window (Exchange SinglePartition)
+    from string_grouper_spark.operators.group_rep import group_rep_by_highest_weight
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").repartition(8)
+    for pos_col in ("c_custkey", None):
+        out = group_rep_by_highest_weight(
+            cust, "c_nationkey", "c_custkey", "c_acctbal", pos_col=pos_col
+        )
+        plan = plan_of(out)
+        assert "SinglePartition" not in plan, plan
 
 
 def test_ann_broadcasts_query_side(spark):

@@ -41,11 +41,33 @@ def _fingerprint(*parts) -> str:
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
+def input_fingerprint(df: DataFrame, cols: Optional[list] = None) -> str:
+    """Content fingerprint of an input DataFrame: row count + order-free
+    bit_xor of per-row xxhash64 over ``cols`` (default: all columns).  One
+    cheap scan; folded into the run fingerprint so a resume NEVER returns
+    stale checkpoints when the input data changed under the same config."""
+    cols = cols or df.columns
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr(f"bit_xor(xxhash64({', '.join(cols)}))"), F.lit(0)).alias("h"),
+    ).first()
+    return _fingerprint({"rows": row["n"], "hash": row["h"], "cols": cols})
+
+
 class StageCheckpointer:
-    def __init__(self, spark: SparkSession, root: str, run_config=None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        run_config=None,
+        input_fp: Optional[str] = None,
+    ):
+        """``input_fp``: fingerprint of the run's INPUT data (see
+        ``input_fingerprint``) — without it, re-running on changed input
+        under the same root+config would silently resume stale results."""
         self.spark = spark
         self.root = root.rstrip("/")
-        self.run_fp = _fingerprint(run_config or {})
+        self.run_fp = _fingerprint(run_config or {}, input_fp or "")
         os.makedirs(self.root, exist_ok=True)
 
     # -- paths ---------------------------------------------------------------
@@ -111,6 +133,10 @@ class StageCheckpointer:
         written.drop("_pid").write.mode("overwrite").parquet(f"{sdir}/data")
         rows_out = written.count()
         n_parts = written.select("_pid").distinct().count()
+        # the tmp staging dir has served its purpose (lineage + final copy)
+        import shutil
+
+        shutil.rmtree(f"{sdir}/data.tmp", ignore_errors=True)
         wall_ms = int((time.time() - t0) * 1000)
         self._append_metrics(
             {
@@ -152,7 +178,10 @@ def checkpointed_dedup_pipeline(
     from .operators.matching import match_edges
     from .operators.similarity import LEFT, RIGHT
 
-    ck = StageCheckpointer(spark, root, run_config=cfg)
+    ck = StageCheckpointer(
+        spark, root, run_config=cfg,
+        input_fp=input_fingerprint(docs, [id_col, text_col]),
+    )
     n_docs = docs.count()
 
     tokens = ck.stage("tokens", lambda: tokenize(docs, cfg, text_col, id_col))

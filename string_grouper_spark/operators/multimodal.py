@@ -84,15 +84,18 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for _, row in pdf.iterrows():
-                payload = row["payload"]
+            # itertuples, not iterrows: no per-row Series construction — the
+            # only per-row Python left is the codec call itself, which is
+            # irreducibly per-item (one decode per payload)
+            for row in pdf.itertuples(index=False):
+                payload = row.payload
                 payload = payload.encode() if isinstance(payload, str) else bytes(payload)
-                if row["kind"] == "image":
-                    arr = decode_image(payload, row["width"] or 8, row["height"] or 8, fake=fake)
-                elif row["kind"] == "audio":
-                    arr = _fake_decode(payload, (int(row["sample_rate"] or 800),))
+                if row.kind == "image":
+                    arr = decode_image(payload, row.width or 8, row.height or 8, fake=fake)
+                elif row.kind == "audio":
+                    arr = _fake_decode(payload, (int(row.sample_rate or 800),))
                 else:  # video: frame-sampled
-                    n = int(row["n_frames"] or 4)
+                    n = int(row.n_frames or 4)
                     arr = _fake_decode(payload, (min(n, 4), 8, 8, 3))
                 flat = arr.astype(np.float64).ravel()
                 # histogram-moment feature, padded/truncated to feat_dim

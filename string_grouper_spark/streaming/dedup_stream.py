@@ -4,8 +4,11 @@ The reference has no streaming story (SURVEY §2.3); at web scale ingest is a
 stream, so the engine ships two streaming operators:
 
   * ``streaming_exact_dedup`` — drop exact-content duplicates within a
-    watermark horizon: ``withWatermark`` + ``dropDuplicates`` on the content
-    hash (state bounded by the watermark — required at 10^12 docs).
+    watermark horizon: ``withWatermark`` + ``dropDuplicatesWithinWatermark``
+    on the content hash.  Plain ``dropDuplicates(subset)`` only evicts state
+    when the event-time column is part of the subset; the WithinWatermark
+    variant bounds state by the horizon for any subset — required at 10^12
+    docs.
   * ``streaming_simhash_tag`` — stateless per-batch signature tagging
     (the LSH/banding join then runs as periodic batch compaction over the
     signature sink, which is the standard lambda design for streaming
@@ -26,13 +29,18 @@ def streaming_exact_dedup(
 ) -> DataFrame:
     """Exact dedup over a stream: first-seen row per content hash survives.
 
-    State is bounded: hashes older than the watermark are evicted, so memory
-    is O(rows per horizon), not O(stream length).
+    State is bounded: hash entries older than the watermark horizon are
+    evicted (``dropDuplicatesWithinWatermark`` — unlike ``dropDuplicates``
+    on a non-event-time subset, whose state grows with stream length), so
+    memory is O(rows per horizon).  A duplicate arriving AFTER its
+    original's horizon expires is re-emitted — the standard
+    horizon-bounded-dedup contract; the periodic batch compaction catches
+    those.
     """
     return (
         stream.withColumn("content_hash", F.md5(F.col(text_col)))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["content_hash"])
+        .dropDuplicatesWithinWatermark(["content_hash"])
     )
 
 

@@ -60,6 +60,45 @@ def test_fingerprint_invalidation(spark, docs, tmp_path):
     assert len(calls) == 2
 
 
+def test_input_fingerprint_invalidation(spark, docs, tmp_path):
+    # same root + same config but CHANGED input data must rebuild, not
+    # resume stale results
+    from string_grouper_spark.checkpoint import input_fingerprint
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return docs.select("doc_id")
+
+    cfg = {"min_similarity": 0.8}
+    ck1 = StageCheckpointer(
+        spark, str(tmp_path), run_config=cfg, input_fp=input_fingerprint(docs)
+    )
+    ck1.stage("ids", build)
+    changed = docs.withColumn("text", F.concat(F.col("text"), F.lit("!")))
+    ck2 = StageCheckpointer(
+        spark, str(tmp_path), run_config=cfg, input_fp=input_fingerprint(changed)
+    )
+    ck2.stage("ids", build)
+    assert len(calls) == 2
+    # identical input -> resume (no third build)
+    ck3 = StageCheckpointer(
+        spark, str(tmp_path), run_config=cfg, input_fp=input_fingerprint(changed)
+    )
+    ck3.stage("ids", build)
+    assert len(calls) == 2
+
+
+def test_tmp_staging_dir_cleaned_up(spark, docs, tmp_path):
+    import os
+
+    ck = StageCheckpointer(spark, str(tmp_path), run_config={})
+    ck.stage("ids", lambda: docs.select("doc_id"))
+    assert not os.path.exists(f"{tmp_path}/ids/data.tmp")
+    assert os.path.exists(f"{tmp_path}/ids/data")
+
+
 def test_metrics_and_lineage_written(spark, docs, tmp_path):
     ck = StageCheckpointer(spark, str(tmp_path), run_config={})
     ck.stage("ids", lambda: docs.select("doc_id").repartition(4))

@@ -40,6 +40,20 @@ def test_group_similar_strings_centroid(spark, customers_df):
     pdt.assert_series_equal(expected, got)
 
 
+def test_group_similar_strings_never_collects_edges(spark, customers_df):
+    # the self-join grouping path must run CC on the lazy Spark edge view —
+    # the edge list never round-trips through the driver (VERDICT r1 #7)
+    from string_grouper_spark.pandas_api import SparkStringGrouper
+
+    sg = SparkStringGrouper(customers_df["Customer Name"], min_similarity=0.6).fit()
+    out = sg.get_groups()
+    assert len(out) == len(customers_df)
+    assert sg._matches_pdf is None, "edge list was collected to the driver"
+    # a pandas-output access still works afterwards (lazy collect on demand)
+    assert len(sg.get_matches()) > 0
+    assert sg._matches_pdf is not None
+
+
 def test_group_similar_strings_first(spark, customers_df):
     # TSG:767-780
     got = group_similar_strings(

@@ -212,6 +212,16 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.array_min(windows).alias("fp_md5"))
 
 
+def q_emb_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup clustering (cos >= 0.4, 6-dp rounded),
+    exact all-pairs candidates at oracle scale; component = min vec_id."""
+    from string_grouper_spark.operators.ann import embedding_dedup_clusters
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_dedup_clusters(emb, 0.4, method="exact", round_digits=R)
+    return out.select("vec_id", "component")
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 neighbors for vec_id < 100."""
     from string_grouper_spark.operators.ann import cosine_topk_bruteforce
@@ -252,6 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
+        "emb_dedup": q_emb_dedup,
     }
 
 
@@ -511,6 +522,26 @@ SELECT doc_id,
      FROM unnest(generate_series(1, length(norm.n) - 8)) AS t(i))
   ELSE md5(n) END AS fp_md5
 FROM norm
+"""
+
+_ORACLES["emb_dedup"] = r"""
+WITH pairs AS (
+  SELECT a.vec_id AS l, b.vec_id AS r
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id < b.vec_id
+   AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+), sym AS (
+  SELECT l AS u, r AS v FROM pairs UNION ALL SELECT r, l FROM pairs
+), closure AS (
+  WITH RECURSIVE reach(src, dst) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT reach.src, sym.v FROM reach JOIN sym ON reach.dst = sym.u
+  ) SELECT * FROM reach
+)
+SELECT e.vec_id, least(e.vec_id, coalesce(min(c.dst), e.vec_id)) AS component
+FROM embeddings e LEFT JOIN closure c ON c.src = e.vec_id
+GROUP BY e.vec_id
 """
 
 _ORACLES["ann_topk"] = r"""

@@ -90,25 +90,16 @@ def _hyperplanes(dim: int, num_planes: int, seed: int = 0x9E3D) -> np.ndarray:
     return rng.normal(size=(num_planes, dim)).astype(float)
 
 
-def lsh_cosine_topk(
-    items: DataFrame,
-    dim: int,
-    k: int = 10,
-    num_tables: int = 8,
-    planes_per_table: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _sign_lsh_buckets(
+    unit: DataFrame, dim: int, num_tables: int, planes_per_table: int
 ) -> DataFrame:
-    """Approximate self top-k via sign-LSH bucketing + exact re-score.
+    """(_id, unit) -> (_id, unit, tbl, key): one bucket row per hash table.
 
-    Each of ``num_tables`` tables hashes a vector to ``planes_per_table``
-    sign bits; vectors sharing a (table, key) bucket become candidates.
-    P(bucket match per table) = (1 - theta/pi)^planes_per_table — multiple
-    tables recover recall.  Only bucketmates are scored: the cross join of
-    brute force is replaced by an equi-join on the bucket key.
+    Each table hashes a vector to ``planes_per_table`` sign bits (random
+    hyperplanes, deterministic seed).  P(same key per table) =
+    (1 - theta/pi)^planes_per_table — multiple tables recover recall.
     """
     planes = _hyperplanes(dim, num_tables * planes_per_table)
-    unit = with_unit_vectors(items.select(F.col(id_col).alias("_id"), vec_col), vec_col)
 
     def sign_bit(plane: np.ndarray):
         arr = F.array(*[F.lit(float(v)) for v in plane])
@@ -121,10 +112,27 @@ def lsh_cosine_topk(
             for j in range(planes_per_table)
         ]
         keys.append(F.struct(F.lit(t).alias("tbl"), sum(bits).alias("key")))
-    bucketed = unit.select(
+    return unit.select(
         "_id", "unit", F.explode(F.array(*keys)).alias("bk")
     ).select("_id", "unit", F.col("bk.tbl").alias("tbl"), F.col("bk.key").alias("key"))
 
+
+def lsh_cosine_topk(
+    items: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_tables: int = 8,
+    planes_per_table: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate self top-k via sign-LSH bucketing + exact re-score.
+
+    Only bucketmates are scored: the cross join of brute force is replaced
+    by an equi-join on the (table, key) bucket key.
+    """
+    unit = with_unit_vectors(items.select(F.col(id_col).alias("_id"), vec_col), vec_col)
+    bucketed = _sign_lsh_buckets(unit, dim, num_tables, planes_per_table)
     l = bucketed.select("tbl", "key", F.col("_id").alias("query_id"), F.col("unit").alias("_qu"))
     r = bucketed.select("tbl", "key", F.col("_id").alias("item_id"), F.col("unit").alias("_iu"))
     cand = (
@@ -141,3 +149,72 @@ def lsh_cosine_topk(
         .where(F.col("_rn") <= int(k))
         .drop("_rn")
     )
+
+
+def embedding_near_dup_pairs(
+    items: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    dim: Optional[int] = None,
+    num_tables: int = 8,
+    planes_per_table: int = 8,
+    round_digits: Optional[int] = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (left_id < right_id, cos).
+
+    ``method='lsh'`` (scale path): sign-LSH bucket equi-join generates
+    candidates, exact JVM dot decides — cost scales with bucket collisions,
+    not corpus^2.  ``method='exact'``: all-pairs broadcast scan, the oracle
+    baseline for small corpora.  ``round_digits``: threshold on the rounded
+    cosine so an independent oracle engine tie-breaks identically.
+    """
+    unit = with_unit_vectors(items.select(F.col(id_col).alias("_id"), vec_col), vec_col)
+    if method == "exact":
+        l = unit.select(F.col("_id").alias("left_id"), F.col("unit").alias("_ul"))
+        r = unit.select(F.col("_id").alias("right_id"), F.col("unit").alias("_ur"))
+        cand = F.broadcast(l).crossJoin(r).where(F.col("left_id") < F.col("right_id"))
+    elif method == "lsh":
+        if dim is None:
+            dim = len(items.select(vec_col).first()[0])
+        bucketed = _sign_lsh_buckets(unit, dim, num_tables, planes_per_table)
+        l = bucketed.select("tbl", "key", F.col("_id").alias("left_id"), F.col("unit").alias("_ul"))
+        r = bucketed.select("tbl", "key", F.col("_id").alias("right_id"), F.col("unit").alias("_ur"))
+        cand = (
+            l.join(r, ["tbl", "key"])
+            .where(F.col("left_id") < F.col("right_id"))
+            .dropDuplicates(["left_id", "right_id"])
+        )
+    else:
+        raise ValueError(method)
+    cos = _dot_expr(F.col("_ul"), F.col("_ur"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return (
+        cand.select("left_id", "right_id", cos.alias("cos"))
+        .where(F.col("cos") >= float(threshold))
+    )
+
+
+def embedding_dedup_clusters(
+    items: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    **kwargs,
+) -> DataFrame:
+    """Embedding-cosine near-dup CLUSTERING: pairs >= threshold -> connected
+    components.  Returns (<id_col>, component), component = min id — the
+    embedding-space sibling of the text dedup pipelines (single-linkage,
+    same CC kernel)."""
+    from .grouping import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        items, threshold, id_col=id_col, vec_col=vec_col, method=method, **kwargs
+    )
+    nodes = items.select(F.col(id_col))
+    return connected_components(
+        pairs.select(F.col("left_id").alias("u"), F.col("right_id").alias("v")), nodes
+    ).withColumnRenamed("node", id_col)

@@ -324,42 +324,35 @@ class SparkStringGrouper:
                 else pd.concat([self._matches_list, non_matches], axis=0, ignore_index=True)
             )
 
-        def get_both_sides(master, duplicates, generic_name=(DEFAULT_COLUMN_NAME, DEFAULT_COLUMN_NAME), drop_index=False):
-            lname, rname = generic_name
-            left = master if master.name else master.rename(lname)
-            left = left.iloc[matches_list.master_side].reset_index(drop=drop_index)
-            if self._duplicates is None:
-                right = master if master.name else master.rename(rname)
-            else:
-                right = duplicates if duplicates.name else duplicates.rename(rname)
-            right = right.iloc[matches_list.dupe_side].reset_index(drop=drop_index)
-            return left, (right if isinstance(right, pd.Series) else right[right.columns[::-1]])
+        def take(series, positions, col_prefix, default_name, keep_index, index_last=False):
+            """Positional gather of one output side, prefixed.
 
-        def prefix(data, p):
-            if isinstance(data, pd.DataFrame):
-                return data.rename(columns={c: f"{p}{c}" for c in data.columns})
-            return data.rename(f"{p}{data.name}")
+            ``keep_index``: carry the series' index values as extra columns
+            (index cols lead on the left side; ``index_last`` trails them on
+            the right side — the reference's output column convention).
+            """
+            named = series if series.name else series.rename(default_name)
+            taken = named.iloc[positions].reset_index(drop=not keep_index)
+            if isinstance(taken, pd.Series):
+                return taken.reset_index(drop=True).rename(f"{col_prefix}{taken.name}")
+            if index_last:
+                taken = taken[taken.columns[::-1]]
+            return taken.rename(columns={c: f"{col_prefix}{c}" for c in taken.columns})
 
-        left_side, right_side = get_both_sides(self._master, self._duplicates, drop_index=ignore_index)
-        similarity = matches_list.similarity.reset_index(drop=True)
-        if self._master_id is None:
-            return pd.concat(
-                [prefix(left_side, LEFT_PREFIX), similarity, prefix(right_side, RIGHT_PREFIX)],
-                axis=1,
-            )
-        left_id, right_id = get_both_sides(
-            self._master_id, self._duplicates_id, (DEFAULT_ID_NAME, DEFAULT_ID_NAME), drop_index=True
+        lpos, rpos = matches_list.master_side, matches_list.dupe_side
+        right_strings = self._master if self._duplicates is None else self._duplicates
+        keep_idx = not ignore_index
+        parts = [take(self._master, lpos, LEFT_PREFIX, DEFAULT_COLUMN_NAME, keep_idx)]
+        if self._master_id is not None:
+            parts.append(take(self._master_id, lpos, LEFT_PREFIX, DEFAULT_ID_NAME, False))
+        parts.append(matches_list.similarity.reset_index(drop=True))
+        if self._master_id is not None:
+            right_ids = self._master_id if self._duplicates is None else self._duplicates_id
+            parts.append(take(right_ids, rpos, RIGHT_PREFIX, DEFAULT_ID_NAME, False))
+        parts.append(
+            take(right_strings, rpos, RIGHT_PREFIX, DEFAULT_COLUMN_NAME, keep_idx, index_last=True)
         )
-        return pd.concat(
-            [
-                prefix(left_side, LEFT_PREFIX),
-                prefix(left_id, LEFT_PREFIX),
-                similarity,
-                prefix(right_id, RIGHT_PREFIX),
-                prefix(right_side, RIGHT_PREFIX),
-            ],
-            axis=1,
-        )
+        return pd.concat(parts, axis=1)
 
     # -- get_groups (reference SG:520-544) ----------------------------------
     @_require_fit

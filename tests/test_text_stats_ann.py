@@ -91,6 +91,29 @@ def test_bruteforce_topk_matches_numpy(spark, embeddings):
             assert abs(r["cos"] - row[int(r["item_id"])]) < 1e-9
 
 
+def test_embedding_dedup_lsh_matches_exact(spark, embeddings):
+    # the LSH-candidate clustering must recover the exact-scan clustering at
+    # this scale (32x4 tables; threshold 0.3 gives a non-trivial graph)
+    exact = ann.embedding_dedup_clusters(embeddings, 0.3, method="exact").toPandas()
+    lsh = ann.embedding_dedup_clusters(
+        embeddings, 0.3, method="lsh", num_tables=32, planes_per_table=4
+    ).toPandas()
+    e = exact.sort_values("vec_id").reset_index(drop=True)
+    l = lsh.sort_values("vec_id").reset_index(drop=True)
+    # compare cluster PARTITIONS pairwise (labels are both component minima)
+    def pairs(df):
+        out = set()
+        for _, grp in df.groupby("component"):
+            ids = sorted(grp["vec_id"])
+            out |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]}
+        return out
+    ep, lp = pairs(e), pairs(l)
+    assert ep, "exact clustering found no pairs — fixture regression"
+    recall = len(ep & lp) / len(ep)
+    assert recall >= 0.95, recall
+    assert lp <= ep  # precision exact: every LSH pair was exactly verified
+
+
 def test_lsh_topk_recall(spark, embeddings):
     k = 3
     exact = ann.cosine_topk_bruteforce(embeddings, k=k).toPandas()

@@ -11,8 +11,8 @@ Queries (the engine's production shapes):
   exact_pairs_1k  exact all-pairs TF-IDF join on a 1000-doc slice (parity path)
   simhash_cand    SimHash signatures + hamming-ball candidate join
   substring       suffix-window containment pass
-  ann_topk        sign-LSH bucketed cosine top-10 over embeddings (+ recall
-                  vs the brute-force oracle on a 100-query sample)
+  ann_topk        blocked-matmul exact cosine top-10 over embeddings (+
+                  recall vs the per-pair oracle on a 100-query sample)
   text_stats      language-id + quality + fingerprint full scan
 """
 
@@ -81,17 +81,22 @@ def main() -> None:
         "substring",
         lambda: candidates.substring_containment(docs, cfg, anchor_len=24).count(),
     )
-    # ANN headline = the SCALE path (sign-LSH bucketed equi-join), not the
-    # O(n^2) broadcast cross-join; brute force serves only as the recall
-    # oracle on a 100-query sample below.
-    dim = len(emb.first()["embedding"])
-    lsh_topk = lambda: ann.lsh_cosine_topk(
-        emb, dim=dim, k=10, num_tables=32, planes_per_table=4
-    )
-    timed("ann_topk", lambda: lsh_topk().count())
+    # ANN headline = the SCALE path: blocked-matmul exact top-k (one BLAS
+    # matmul per partition + local top-k, shuffle O(q*k*parts)) — exact by
+    # construction; the per-pair Catalyst brute force serves only as the
+    # independent recall oracle on a 100-query sample.
+    timed("ann_topk", lambda: ann.cosine_topk_blocked(emb, k=10).count())
     sample_q = emb.where(F.col("vec_id") < 100)
-    oracle = ann.cosine_topk_bruteforce(emb, sample_q, k=10).toPandas()
-    got = lsh_topk().where(F.col("query_id") < 100).toPandas()
+    # oracle with explicit queries keeps self-pairs (cos=1) — ask for k+1 and
+    # drop them so both sides rank the same non-self top-10
+    oracle = ann.cosine_topk_bruteforce(emb, sample_q, k=11).toPandas()
+    oracle = (
+        oracle[oracle.query_id != oracle.item_id]
+        .sort_values(["query_id", "cos", "item_id"], ascending=[True, False, True])
+        .groupby("query_id")
+        .head(10)
+    )
+    got = ann.cosine_topk_blocked(emb, k=10).where(F.col("query_id") < 100).toPandas()
     opairs = set(zip(oracle.query_id, oracle.item_id))
     gpairs = set(zip(got.query_id, got.item_id))
     counters["ann_recall_pct"] = round(100.0 * len(opairs & gpairs) / max(1, len(opairs)), 2)

@@ -12,11 +12,13 @@ Two paths:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Iterator, Optional
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 
 def _norm_expr(col):
@@ -81,6 +83,94 @@ def cosine_topk_bruteforce(
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )
+
+
+_TOPK_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType(), False),
+        StructField("item_id", LongType(), False),
+        StructField("cos", DoubleType(), False),
+    ]
+)
+
+
+def cosine_topk_blocked(
+    items: DataFrame,
+    queries: Optional[DataFrame] = None,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """EXACT top-k cosine neighbors, blocked-matmul formulation — the scale
+    path for exact kNN (recall 1.0 by construction).
+
+    The query matrix is collected once (bounded by ``max_query_rows``) and
+    broadcast as a single numpy array; each item partition computes one
+    ``block @ Q.T`` BLAS matmul and emits only its LOCAL top-k per query
+    (ties at the k-th value included, so the global winner set is never
+    truncated); a final window keeps the true top-k.  Shuffle volume is
+    O(n_queries * k * n_partitions) rows — independent of corpus size per
+    partition.  Versus the pure-Catalyst ``cosine_topk_bruteforce`` (per-pair
+    interpreted ``aggregate`` lambdas) this is the vectorized form: one C
+    matmul per block instead of n*m interpreted array folds.
+
+    For corpora where queries exceed ``max_query_rows``, chunk the query set
+    and union the results (each chunk is an independent map-only job).
+    """
+    spark = items.sparkSession
+    self_search = queries is None
+    qs = queries if queries is not None else items
+    qpdf = (
+        with_unit_vectors(qs.select(F.col(id_col).alias("_id"), vec_col), vec_col)
+        .select("_id", "unit")
+        .limit(max_query_rows + 1)
+        .toPandas()
+    )
+    if len(qpdf) > max_query_rows:
+        raise ValueError(
+            f"query side exceeds max_query_rows={max_query_rows}; chunk the "
+            "queries and union per-chunk results"
+        )
+    qids = qpdf["_id"].to_numpy(dtype=np.int64)
+    qmat = np.stack(qpdf["unit"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+    kk = int(k)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, qm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            sims = (mat / nrm) @ qm.T  # (block, n_queries)
+            if self_search:
+                sims[ids[:, None] == q_ids[None, :]] = -np.inf
+            b = sims.shape[0]
+            if b > kk:
+                kth = np.partition(sims, b - kk, axis=0)[b - kk]
+                # ties at the k-th value included; -inf self-pairs never emitted
+                rows, cols = np.nonzero((sims >= kth) & np.isfinite(sims))
+            else:
+                rows, cols = np.nonzero(np.isfinite(sims))
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[cols],
+                    "item_id": ids[rows],
+                    "cos": sims[rows, cols],
+                }
+            )
+
+    local = items.select(id_col, vec_col).mapInPandas(run, _TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("item_id").asc())
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= kk)
         .drop("_rn")
     )
 

@@ -131,22 +131,25 @@ def test_substring_winnowed_matches_bruteforce(spark, docs):
 
 
 def test_substring_index_row_reduction(spark, docs):
-    # winnowing cuts the positional index by ~stride x vs every-position
+    # winnowing cuts the positional index by ~stride x vs every-position;
+    # measured with an explicit high-entropy config (stride 9) and with the
+    # selectivity-first default (stride >= 2)
     from string_grouper_spark.functions.normalize import normalize_expr
 
     cfg = MatchConfig()
     anchor_len = 24
-    k, w = cand._substring_params(anchor_len, None, None)
-    norm = docs.select(normalize_expr(F.col("text"), cfg).alias("norm")).where(
-        F.length("norm") >= anchor_len
-    )
-    nw = F.length("norm") - (k - 1)
-    row = norm.agg(
-        F.sum(nw).alias("full_positions"),
-        F.sum(F.floor((nw - 1) / w) + 1).alias("sampled"),
-    ).first()
-    ratio = row["full_positions"] / row["sampled"]
-    assert ratio >= 8, ratio
+    for window_len, stride, min_ratio in [(8, 9, 8), (None, None, 3)]:
+        k, w = cand._substring_params(anchor_len, window_len, stride)
+        norm = docs.select(normalize_expr(F.col("text"), cfg).alias("norm")).where(
+            F.length("norm") >= anchor_len
+        )
+        nw = F.length("norm") - (k - 1)
+        row = norm.agg(
+            F.sum(nw).alias("full_positions"),
+            F.sum(F.floor((nw - 1) / w) + 1).alias("sampled"),
+        ).first()
+        ratio = row["full_positions"] / row["sampled"]
+        assert ratio >= min_ratio, (window_len, stride, ratio)
 
 
 def test_salted_bucket_join_equals_plain(spark):

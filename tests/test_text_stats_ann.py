@@ -91,6 +91,20 @@ def test_bruteforce_topk_matches_numpy(spark, embeddings):
             assert abs(r["cos"] - row[int(r["item_id"])]) < 1e-9
 
 
+def test_blocked_topk_equals_bruteforce(spark, embeddings):
+    # the blocked-matmul scale path is EXACT: same neighbor sets as the
+    # per-pair Catalyst brute force, at any partitioning
+    k = 5
+    brute = ann.cosine_topk_bruteforce(embeddings, k=k).toPandas()
+    blocked = ann.cosine_topk_blocked(embeddings.repartition(7), k=k).toPandas()
+    b = set(zip(brute.query_id, brute.item_id))
+    g = set(zip(blocked.query_id, blocked.item_id))
+    assert b == g
+    # values agree to fp noise
+    merged = brute.merge(blocked, on=["query_id", "item_id"], suffixes=("_b", "_g"))
+    assert (merged["cos_b"] - merged["cos_g"]).abs().max() < 1e-9
+
+
 def test_embedding_dedup_lsh_matches_exact(spark, embeddings):
     # the LSH-candidate clustering must recover the exact-scan clustering at
     # this scale (32x4 tables; threshold 0.3 gives a non-trivial graph)

@@ -17,8 +17,19 @@ stream, so the engine ships two streaming operators:
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 
 def streaming_exact_dedup(
@@ -41,6 +52,81 @@ def streaming_exact_dedup(
         stream.withColumn("content_hash", F.md5(F.col(text_col)))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
+_DUPFLAG_SCHEMA = StructType(
+    [
+        StructField("content_hash", StringType(), False),
+        StructField("id", StringType(), True),
+        StructField("dup_rank", LongType(), False),
+        StructField("is_duplicate", BooleanType(), False),
+    ]
+)
+
+_DUPFLAG_STATE = StructType([StructField("count", LongType(), False)])
+
+
+def streaming_duplicate_flags(
+    stream: DataFrame,
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    id_col: str = "url",
+    watermark: str = "1 hour",
+    horizon_ms: int = 3_600_000,
+) -> DataFrame:
+    """Stateful duplicate ACCOUNTING via ``applyInPandasWithState`` — the
+    custom-stateful-operator pattern ``dropDuplicates*`` cannot express:
+    EVERY row is emitted, tagged with its per-content duplicate rank
+    (0 = first sighting, possibly in an earlier micro-batch) and an
+    ``is_duplicate`` flag, so downstream sinks can keep originals and route
+    dups to a quarantine table with exact counts.
+
+    State = one running count per content hash; evicted by EVENT-TIME
+    timeout ``horizon_ms`` after the newest sighting once the watermark
+    passes it, so memory is O(distinct hashes per horizon), same bound as
+    ``streaming_exact_dedup``.
+    """
+
+    def flag(key, batches: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (content_hash,) = key
+        count = state.get[0] if state.exists else 0
+        max_ts_ms = 0
+        for pdf in batches:
+            # deterministic within-batch order for rank assignment
+            pdf = pdf.sort_values([ts_col, id_col], kind="stable")
+            n = len(pdf)
+            ranks = np.arange(count, count + n, dtype=np.int64)
+            count += n
+            max_ts_ms = max(
+                max_ts_ms, int(pdf[ts_col].max().value // 1_000_000)
+            )
+            yield pd.DataFrame(
+                {
+                    "content_hash": content_hash,
+                    "id": pdf[id_col].astype(str),
+                    "dup_rank": ranks,
+                    "is_duplicate": ranks > 0,
+                }
+            )
+        state.update((count,))
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(max_ts_ms, wm + 1) + horizon_ms)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hashed = stream.withColumn("content_hash", F.md5(F.col(text_col))).withWatermark(
+        ts_col, watermark
+    )
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        flag,
+        _DUPFLAG_SCHEMA,
+        _DUPFLAG_STATE,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 

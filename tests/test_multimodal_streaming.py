@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from string_grouper_spark.operators import multimodal
 from string_grouper_spark.sources.pages import generate_pages
 from string_grouper_spark.streaming.dedup_stream import (
+    streaming_duplicate_flags,
     streaming_exact_dedup,
     streaming_simhash_tag,
 )
@@ -74,6 +75,40 @@ def test_streaming_exact_dedup(spark, tmp_path):
     n_distinct_texts = pages.select("text").distinct().count()
     assert len(out) == n_distinct_texts
     assert out["content_hash"].is_unique
+
+
+def test_streaming_duplicate_flags_stateful_across_batches(spark, tmp_path):
+    # state must carry counts across micro-batches: a text first seen in
+    # batch 1 and repeated in batch 2 is flagged with dup_rank >= 1
+    pages = generate_pages(spark, 40, seed=17)
+    src = f"{tmp_path}/src_flags"
+    pages.coalesce(1).write.mode("overwrite").parquet(f"{src}/batch=0")
+    dups = pages.limit(10).withColumn("url", F.concat(F.lit("later-"), F.col("url")))
+    dups.coalesce(1).write.mode("overwrite").parquet(f"{src}/batch=1")
+
+    stream = (
+        spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/batch=*")
+    )
+    flagged = streaming_duplicate_flags(stream, ts_col="warc_ts", text_col="text")
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("flags_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("select * from flags_out").toPandas()
+    total = pages.count() + dups.count()
+    assert len(out) == total  # EVERY row emitted, originals included
+    later = out[out["id"].str.startswith("later-")]
+    assert len(later) == 10
+    assert (later["dup_rank"] >= 1).all() and later["is_duplicate"].all()
+    # per-hash ranks are 0..count-1 exactly once
+    for _, grp in out.groupby("content_hash"):
+        assert sorted(grp["dup_rank"]) == list(range(len(grp)))
 
 
 def test_streaming_simhash_matches_batch(spark, tmp_path):

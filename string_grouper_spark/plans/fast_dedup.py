@@ -179,14 +179,17 @@ def gram_document_frequencies(terms: DataFrame) -> DataFrame:
 
 def _collect_idf(spark: SparkSession, terms: DataFrame, n_docs: int,
                  max_vocab: int = 8_000_000):
+    # ONE job: the size guard caps the collect at max_vocab+1 rows, so an
+    # over-limit vocabulary aborts without a separate count() pass (which
+    # would recompute the whole terms stage when it isn't cached)
     dfreq = gram_document_frequencies(terms)
-    n_vocab = dfreq.count()
-    if n_vocab > max_vocab:
+    pdf = dfreq.limit(max_vocab + 1).toPandas()
+    if len(pdf) > max_vocab:
         raise ValueError(
-            f"vocabulary {n_vocab} exceeds broadcastable bound {max_vocab}; "
+            f"vocabulary exceeds broadcastable bound {max_vocab}; "
             "use the generic posting-join path"
         )
-    pdf = dfreq.toPandas().sort_values("code")
+    pdf = pdf.sort_values("code")
     codes = pdf["code"].to_numpy(dtype=np.int64)
     idf = (np.log((1.0 + n_docs) / (1.0 + pdf["df"].to_numpy(dtype=np.float64))) + 1.0)
     return spark.sparkContext.broadcast((codes, idf))
@@ -299,9 +302,12 @@ def fast_lsh_dedup(
     cfg = cfg or MatchConfig()
     if n_docs is None:
         n_docs = docs.count()
+    # persist the terms pass: it feeds BOTH the idf collect and the vector
+    # pass — uncached it would run the most expensive narrow stage twice
+    terms = doc_term_arrays(docs, cfg, text_col, id_col, shingle, shingle_words).persist()
     vecs = doc_vectors(
         docs, cfg, num_perm, num_bands, text_col, id_col, n_docs,
-        shingle=shingle, shingle_words=shingle_words,
+        terms=terms, shingle=shingle, shingle_words=shingle_words,
     ).persist()
     try:
         buckets = vecs.where(F.col("bands").isNotNull()).select(
@@ -335,4 +341,5 @@ def fast_lsh_dedup(
             pairs.select(F.col(LEFT).alias("u"), F.col(RIGHT).alias("v")), nodes
         ).withColumnRenamed("node", id_col)
     finally:
+        terms.unpersist()
         vecs.unpersist()

@@ -241,6 +241,113 @@ def lsh_cosine_topk(
     )
 
 
+def _kmeans_centroids(
+    unit_sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 0xC3A7
+) -> np.ndarray:
+    """Spherical k-means on a driver-side sample (numpy, deterministic).
+
+    Lloyd iterations with cosine assignment; empty clusters re-seeded from
+    the farthest points.  The sample is bounded by the caller, so this is
+    O(sample * centroids * iters) driver work — the standard IVF train step.
+    """
+    rng = np.random.RandomState(seed)
+    n = len(unit_sample)
+    cents = unit_sample[rng.choice(n, size=min(n_centroids, n), replace=False)].copy()
+    for _ in range(iters):
+        sims = unit_sample @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = unit_sample[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nrm = np.linalg.norm(v)
+                if nrm > 0:
+                    cents[c] = v / nrm
+            else:
+                cents[c] = unit_sample[sims.max(axis=1).argmin()]
+    return cents
+
+
+def ivf_cosine_topk(
+    items: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 20_000,
+    seed: int = 0xC3A7,
+) -> DataFrame:
+    """Approximate self top-k via IVF (inverted-file) bucketing.
+
+    Train: spherical k-means centroids on a bounded driver sample.  Assign:
+    every vector joins its ``nprobe`` nearest centroid cells (multi-probe on
+    BOTH sides, so two vectors are candidates iff any probed cell overlaps).
+    Score: exact JVM-side dot on bucketmates only + global top-k window.
+
+    Data-adaptive counterpart of ``lsh_cosine_topk``: on clustered
+    embeddings (the realistic case) small nprobe/n_centroids gives near-1
+    recall at ~nprobe/n_centroids of the brute-force comparisons; on
+    uniform-random vectors (worst case, no structure) recall degrades
+    gracefully with nprobe — measure on your corpus.
+    """
+    unit = with_unit_vectors(items.select(F.col(id_col).alias("_id"), vec_col), vec_col)
+    sample_pdf = unit.select("unit").limit(train_sample).toPandas()
+    sample = np.stack(sample_pdf["unit"].to_numpy()).astype(np.float64)
+    cents = _kmeans_centroids(sample, n_centroids, seed=seed)
+    spark = items.sparkSession
+    bc = spark.sparkContext.broadcast(cents)
+    npb = int(min(nprobe, len(cents)))
+
+    from pyspark.sql.types import ArrayType, DoubleType as _Dbl
+
+    assign_schema = StructType(
+        [
+            StructField("_id", LongType(), False),
+            StructField("cell", LongType(), False),
+            StructField("unit", ArrayType(_Dbl()), True),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            units = pdf["unit"].to_numpy()
+            mat = np.stack(units).astype(np.float64)
+            sims = mat @ C.T
+            probes = np.argpartition(-sims, npb - 1, axis=1)[:, :npb]
+            # carry the unit vector through so no second evaluation/join of
+            # the (interpreted) normalization expression is needed
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(ids, npb),
+                    "cell": probes.ravel().astype(np.int64),
+                    "unit": np.repeat(units, npb),
+                }
+            )
+
+    assigned = unit.select("_id", "unit").mapInPandas(assign, assign_schema)
+    l = assigned.select("cell", F.col("_id").alias("query_id"), F.col("unit").alias("_qu"))
+    r = assigned.select("cell", F.col("_id").alias("item_id"), F.col("unit").alias("_iu"))
+    cand = (
+        l.join(r, "cell")
+        .where(F.col("query_id") != F.col("item_id"))
+        .dropDuplicates(["query_id", "item_id"])
+    )
+    scored = cand.select(
+        "query_id", "item_id", _dot_expr(F.col("_qu"), F.col("_iu")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("item_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )
+
+
 def embedding_near_dup_pairs(
     items: DataFrame,
     threshold: float,

@@ -105,6 +105,35 @@ def test_blocked_topk_equals_bruteforce(spark, embeddings):
     assert (merged["cos_b"] - merged["cos_g"]).abs().max() < 1e-9
 
 
+def test_ivf_topk_recall_on_clustered_vectors(spark):
+    # IVF is data-adaptive: on clustered embeddings (the realistic case for
+    # model outputs) a small probe budget recovers near-perfect recall
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(20, 32))
+    rows = []
+    for i in range(600):
+        c = centers[i % 20]
+        rows.append((i, (c + 0.15 * rng.normal(size=32)).astype(float).tolist()))
+    emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    exact = ann.cosine_topk_blocked(emb, k=5).toPandas()
+    approx = ann.ivf_cosine_topk(emb, k=5, n_centroids=20, nprobe=3).toPandas()
+    e = set(zip(exact.query_id, exact.item_id))
+    a = set(zip(approx.query_id, approx.item_id))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.99, recall
+
+
+def test_ivf_topk_uniform_worst_case_reported(spark, embeddings):
+    # uniform-random vectors are IVF's worst case (no cluster structure):
+    # recall must still degrade gracefully with the probe budget
+    exact = ann.cosine_topk_blocked(embeddings, k=3).toPandas()
+    approx = ann.ivf_cosine_topk(embeddings, k=3, n_centroids=16, nprobe=8).toPandas()
+    e = set(zip(exact.query_id, exact.item_id))
+    a = set(zip(approx.query_id, approx.item_id))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, recall
+
+
 def test_embedding_dedup_lsh_matches_exact(spark, embeddings):
     # the LSH-candidate clustering must recover the exact-scan clustering at
     # this scale (32x4 tables; threshold 0.3 gives a non-trivial graph)

@@ -114,13 +114,16 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text analysis: char/token counts + avg token length per doc."""
+    """Text analysis: char/token counts (whitespace + BPE-ish regex) and
+    avg token length per doc."""
     docs = _docs(spark, sf_dir)
     toks = F.split(F.trim(F.col("text")), r"\s+")
+    bpe_ish = F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]', 0)")
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars_txt"),
         F.size(toks).alias("n_tokens"),
+        F.size(bpe_ish).alias("n_word_tokens"),
         F.round(
             F.length(F.regexp_replace("text", r"\s+", "")) / F.size(toks), R
         ).alias("avg_token_len"),
@@ -389,6 +392,7 @@ _ORACLES["token_stats"] = r"""
 SELECT doc_id,
        length(text) AS n_chars_txt,
        len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_word_tokens,
        round(length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
              / len(regexp_split_to_array(trim(text), '\s+')), 6) AS avg_token_len
 FROM documents

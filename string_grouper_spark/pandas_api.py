@@ -281,14 +281,18 @@ class SparkStringGrouper:
 
     # -- get_matches (reference SG:442-518) ---------------------------------
     def _get_non_matches_list(self) -> pd.DataFrame:
+        """Zero-similarity completion set (semantics of reference SG:765-781):
+        the sorted cartesian of positions minus the matched pairs, sim=0,
+        guarded by the true-max-n-matches exhaustiveness check.  Computed as
+        a flat boolean mask over the m*d grid — only sane at small scale,
+        exactly like the reference."""
         m_sz = len(self._master)
         d_sz = len(self._master if self._duplicates is None else self._duplicates)
-        all_pairs = pd.MultiIndex.from_product(
-            [range(m_sz), range(d_sz)], names=["master_side", "dupe_side"]
-        )
-        matched = pd.MultiIndex.from_frame(self._matches_list[["master_side", "dupe_side"]])
-        missing = all_pairs.difference(matched)
-        if missing.empty:
+        ml = self._matches_list
+        present = np.zeros(m_sz * d_sz, dtype=bool)
+        present[ml["master_side"].to_numpy() * d_sz + ml["dupe_side"].to_numpy()] = True
+        missing = np.nonzero(~present)[0]
+        if not len(missing):
             return pd.DataFrame()
         if self._config.max_n_matches < self._true_max_n_matches:
             raise Exception(
@@ -298,9 +302,13 @@ class SparkStringGrouper:
                 f"\t\t true maximum number of matches over all strings in master)\n"
                 f"\t\t or greater or do not set this kwarg at all."
             )
-        out = missing.to_frame(index=False)
-        out["similarity"] = 0
-        return out
+        return pd.DataFrame(
+            {
+                "master_side": missing // d_sz,
+                "dupe_side": missing % d_sz,
+                "similarity": 0,
+            }
+        )
 
     @_require_fit
     def get_matches(
@@ -497,24 +505,27 @@ class SparkStringGrouper:
 
     @_require_fit
     def add_match(self, master_side: str, dupe_side: str) -> "SparkStringGrouper":
-        master_indices, dupe_indices = self._get_indices_of(master_side, dupe_side)
-        prior = self._matches_list.master_side[self._matches_list.dupe_side.isin(dupe_indices)]
-        dupe_indices = pd.concat([dupe_indices, prior]).drop_duplicates()
-        idx = pd.MultiIndex.from_product(
-            [master_indices, dupe_indices, [1.0]], names=["master_side", "dupe_side", "similarity"]
+        """Inject sim=1 edges between every position of the two string
+        VALUES, transitively pulling the dupe value's prior match partners
+        so the whole set converges into one group (SG:646-666 semantics,
+        pinned by the add_match goldens).  Cartesian built with
+        repeat/tile instead of a MultiIndex product."""
+        master_pos, dupe_pos = self._get_indices_of(master_side, dupe_side)
+        ml = self._matches_list
+        prior_partners = ml.master_side[ml.dupe_side.isin(dupe_pos)]
+        dupe_pos = pd.concat([dupe_pos, prior_partners]).drop_duplicates()
+        lm = np.repeat(master_pos.to_numpy(), len(dupe_pos))
+        rd = np.tile(dupe_pos.to_numpy(), len(master_pos))
+        new_matches = pd.DataFrame(
+            {"master_side": lm, "dupe_side": rd, "similarity": 1.0}
         )
-        new_matches = pd.DataFrame(index=idx).reset_index()
         if self._duplicates is None:
-            swapped = pd.DataFrame(
-                {
-                    "master_side": new_matches.dupe_side,
-                    "dupe_side": new_matches.master_side,
-                    "similarity": new_matches.similarity,
-                }
-            )
-            new_matches = pd.concat([new_matches, swapped])
+            mirrored = new_matches.rename(
+                columns={"master_side": "dupe_side", "dupe_side": "master_side"}
+            )[["master_side", "dupe_side", "similarity"]]
+            new_matches = pd.concat([new_matches, mirrored])
         self._matches_list = pd.concat(
-            [self._matches_list.drop_duplicates(), new_matches], ignore_index=True
+            [ml.drop_duplicates(), new_matches], ignore_index=True
         )
         return self
 

@@ -61,13 +61,20 @@ class StageCheckpointer:
         root: str,
         run_config=None,
         input_fp: Optional[str] = None,
+        io=None,
     ):
         """``input_fp``: fingerprint of the run's INPUT data (see
         ``input_fingerprint``) — without it, re-running on changed input
-        under the same root+config would silently resume stale results."""
+        under the same root+config would silently resume stale results.
+
+        ``io``: optional ``sources.catalog.TableIO`` — stage tables are
+        written/read through it, so a configured Iceberg catalog turns every
+        checkpoint into a real catalog table; without it (sandbox default)
+        stages are parquet directories under ``root``."""
         self.spark = spark
         self.root = root.rstrip("/")
         self.run_fp = _fingerprint(run_config or {}, input_fp or "")
+        self.io = io
         os.makedirs(self.root, exist_ok=True)
 
     # -- paths ---------------------------------------------------------------
@@ -107,11 +114,16 @@ class StageCheckpointer:
         sdir = self._stage_dir(name)
         meta_path = self._meta_path(name)
 
+        def read_stage() -> DataFrame:
+            if self.io is not None:
+                return self.io.read(f"{name}_data")
+            return self.spark.read.parquet(f"{sdir}/data")
+
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
             if meta.get("fingerprint") == fp:
-                return self.spark.read.parquet(f"{sdir}/data")
+                return read_stage()
 
         t0 = time.time()
         df = build()
@@ -130,7 +142,10 @@ class StageCheckpointer:
             )
         )
         lineage.write.mode("append").parquet(f"{self.root}/_lineage")
-        written.drop("_pid").write.mode("overwrite").parquet(f"{sdir}/data")
+        if self.io is not None:
+            self.io.write(written.drop("_pid"), f"{name}_data", mode="overwrite")
+        else:
+            written.drop("_pid").write.mode("overwrite").parquet(f"{sdir}/data")
         rows_out = written.count()
         n_parts = written.select("_pid").distinct().count()
         # the tmp staging dir has served its purpose (lineage + final copy)
@@ -152,7 +167,7 @@ class StageCheckpointer:
         # no meta file, so resume re-runs the stage
         with open(meta_path, "w") as f:
             json.dump({"fingerprint": fp, "rows_out": rows_out, "wall_ms": wall_ms}, f)
-        return self.spark.read.parquet(f"{sdir}/data")
+        return read_stage()
 
     def stage_fingerprint(self, name: str) -> Optional[str]:
         meta_path = self._meta_path(name)

@@ -90,6 +90,31 @@ def test_input_fingerprint_invalidation(spark, docs, tmp_path):
     assert len(calls) == 2
 
 
+def test_checkpointer_writes_through_table_io(spark, docs, tmp_path):
+    # stage tables route through the TableIO adapter (Iceberg-ready; parquet
+    # fallback in this container), resume included
+    from string_grouper_spark.sources.catalog import TableIO
+
+    io = TableIO(spark, f"{tmp_path}/tables")
+    calls = []
+
+    def build():
+        calls.append(1)
+        return docs.select("doc_id")
+
+    ck = StageCheckpointer(spark, str(tmp_path), run_config={}, io=io)
+    a = ck.stage("ids", build).toPandas()
+    assert io.exists("ids_data")
+    b = StageCheckpointer(spark, str(tmp_path), run_config={}, io=io).stage(
+        "ids", build
+    ).toPandas()
+    assert len(calls) == 1  # resumed through the adapter
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
 def test_tmp_staging_dir_cleaned_up(spark, docs, tmp_path):
     import os
 

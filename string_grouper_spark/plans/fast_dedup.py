@@ -296,7 +296,11 @@ def fast_lsh_dedup(
     above ``salt_above`` (but within the cap) are SALTED — the self-join is
     spread over ceil(sz/salt_above)^2 sub-tasks instead of skewing one.
     """
-    from ..operators.candidates import _salted_self_pairs, bucket_drop_stats
+    from ..operators.candidates import (
+        _grouped_bucket_pairs,
+        _salted_self_pairs,
+        bucket_drop_stats,
+    )
     from ..operators.grouping import connected_components
 
     cfg = cfg or MatchConfig()
@@ -315,17 +319,19 @@ def fast_lsh_dedup(
         )
         if drop_stats is not None:
             drop_stats.update(bucket_drop_stats(buckets, max_bucket_size))
-        if max_bucket_size is not None or salt_above is not None:
+        if salt_above is None:
+            # one-shuffle grouped pairing (see _grouped_bucket_pairs)
+            raw_pairs = _grouped_bucket_pairs(buckets, max_bucket_size)
+        else:
             from pyspark.sql import Window
 
             w = Window.partitionBy("band", "key")
-            buckets = buckets.withColumn("_sz", F.count(F.lit(1)).over(w))
+            sized = buckets.withColumn("_sz", F.count(F.lit(1)).over(w))
             if max_bucket_size is not None:
-                buckets = buckets.where(F.col("_sz") <= max_bucket_size)
-        collisions = (
-            _salted_self_pairs(buckets, salt_above)
-            .groupBy(LEFT, RIGHT)
-            .agg(F.count(F.lit(1)).alias("_nbands"))
+                sized = sized.where(F.col("_sz") <= max_bucket_size)
+            raw_pairs = _salted_self_pairs(sized, salt_above)
+        collisions = raw_pairs.groupBy(LEFT, RIGHT).agg(
+            F.count(F.lit(1)).alias("_nbands")
         )
         cand = collisions.where(F.col("_nbands") >= int(min_band_matches)).select(LEFT, RIGHT)
         pl = vecs.select(F.col("doc_id").alias(LEFT), F.col("codes").alias("_g1"), F.col("ws").alias("_w1"))

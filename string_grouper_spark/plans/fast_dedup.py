@@ -45,28 +45,47 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from pyspark.sql.types import IntegerType
+
 from ..config import MatchConfig
 from ..functions.normalize import py_normalize
 from ..operators.candidates import _band_mixers, _perm_params
 from ..operators.similarity import LEFT, RIGHT, SIM, _sparse_dot
 
-TERM_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType(), False),
-        StructField("codes", ArrayType(LongType()), True),
-        StructField("tfs", ArrayType(LongType()), True),
-        StructField("scodes", ArrayType(LongType()), True),
-    ]
-)
 
-VEC_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType(), False),
-        StructField("codes", ArrayType(LongType()), True),
-        StructField("ws", ArrayType(DoubleType()), True),
-        StructField("bands", ArrayType(LongType()), True),
-    ]
-)
+def _code_type(ngram_size: int):
+    """Gram codes are the raw bytes packed big-endian: 3-grams need 24 bits,
+    so int32 suffices for ngram_size <= 3 — HALF the shuffle bytes of the
+    codes arrays in the candidate re-score (the flagship's dominant shuffle
+    at scale).  Larger shingles use the full int64."""
+    return IntegerType() if ngram_size <= 3 else LongType()
+
+
+def _term_schema(ngram_size: int) -> StructType:
+    return StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("codes", ArrayType(_code_type(ngram_size)), True),
+            StructField("tfs", ArrayType(LongType()), True),
+            StructField("scodes", ArrayType(LongType()), True),
+        ]
+    )
+
+
+def _vec_schema(ngram_size: int) -> StructType:
+    return StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("codes", ArrayType(_code_type(ngram_size)), True),
+            StructField("ws", ArrayType(DoubleType()), True),
+            StructField("bands", ArrayType(LongType()), True),
+        ]
+    )
+
+
+# back-compat aliases (int64 codes — the general shape)
+TERM_SCHEMA = _term_schema(8)
+VEC_SCHEMA = _vec_schema(8)
 
 
 def _encode_doc(text: str, cfg: MatchConfig):
@@ -86,7 +105,8 @@ def _encode_doc(text: str, cfg: MatchConfig):
     for i in range(n):
         codes = (codes << np.uint64(8)) | windows[:, i]
     uniq, counts = np.unique(codes, return_counts=True)
-    return uniq.astype(np.int64), counts.astype(np.int64)
+    code_dtype = np.int32 if n <= 3 else np.int64  # see _code_type
+    return uniq.astype(code_dtype), counts.astype(np.int64)
 
 
 def _word_shingle_codes(text: str, cfg: MatchConfig, shingle_words: int):
@@ -163,7 +183,7 @@ def doc_term_arrays(
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(run, TERM_SCHEMA)
+    return docs.select(id_col, text_col).mapInPandas(run, _term_schema(cfg.ngram_size))
 
 
 def gram_document_frequencies(terms: DataFrame) -> DataFrame:
@@ -259,7 +279,7 @@ def doc_vectors(
                 }
             )
 
-    return terms.mapInPandas(run, VEC_SCHEMA)
+    return terms.mapInPandas(run, _vec_schema(cfg.ngram_size))
 
 
 def fast_lsh_dedup(

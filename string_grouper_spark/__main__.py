@@ -1,0 +1,124 @@
+"""spark-submit-able CLI: the engine's production entry points as jobs.
+
+    spark-submit --py-files string_grouper_spark.zip -m ... , or locally:
+
+    python -m string_grouper_spark dedup --input docs.parquet --output out \
+        --min-similarity 0.8 --shingle word
+    python -m string_grouper_spark pairs --input docs.parquet --output out
+    python -m string_grouper_spark exact-dedup --input docs.parquet --output out
+    python -m string_grouper_spark topk --input emb.parquet --output out \
+        --k 10 --method blocked
+
+Every command reads parquet, runs one pipeline, writes parquet — resumable
+variants go through ``checkpoint.checkpointed_dedup_pipeline`` with
+``--checkpoint-root``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Optional
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="string_grouper_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--input", required=True, help="input parquet path")
+        sp.add_argument("--output", required=True, help="output parquet path")
+        sp.add_argument("--text-col", default="text")
+        sp.add_argument("--id-col", default="doc_id")
+        sp.add_argument("--min-similarity", type=float, default=0.8)
+
+    d = sub.add_parser("dedup", help="near-dup clustering (MinHash-LSH flagship)")
+    common(d)
+    d.add_argument("--num-perm", type=int, default=128)
+    d.add_argument("--num-bands", type=int, default=16)
+    d.add_argument("--shingle", choices=["char", "word"], default="char")
+    d.add_argument("--max-bucket-size", type=int, default=1000)
+    d.add_argument("--salt-above", type=int, default=None)
+    d.add_argument("--checkpoint-root", default=None,
+                   help="resume-able stage tables under this root")
+
+    pr = sub.add_parser("pairs", help="exact TF-IDF cosine near-dup pairs")
+    common(pr)
+
+    ed = sub.add_parser("exact-dedup", help="content-hash duplicate groups")
+    ed.add_argument("--input", required=True)
+    ed.add_argument("--output", required=True)
+    ed.add_argument("--text-col", default="text")
+    ed.add_argument("--id-col", default="doc_id")
+
+    tk = sub.add_parser("topk", help="cosine top-k neighbors over embeddings")
+    tk.add_argument("--input", required=True)
+    tk.add_argument("--output", required=True)
+    tk.add_argument("--id-col", default="vec_id")
+    tk.add_argument("--vec-col", default="embedding")
+    tk.add_argument("--k", type=int, default=10)
+    tk.add_argument("--method", choices=["blocked", "lsh", "ivf"], default="blocked")
+    return p
+
+
+def main(argv: Optional[list] = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from .config import MatchConfig
+    from .session import get_spark
+
+    spark = get_spark(f"sgspark-{args.command}")
+    spark.sparkContext.setLogLevel("WARN")
+    df = spark.read.parquet(args.input)
+
+    if args.command == "dedup":
+        cfg = MatchConfig(min_similarity=args.min_similarity, max_n_matches=1_000_000)
+        if args.checkpoint_root:
+            from .checkpoint import checkpointed_dedup_pipeline
+
+            out = checkpointed_dedup_pipeline(
+                spark, df, cfg, args.checkpoint_root,
+                text_col=args.text_col, id_col=args.id_col,
+            )
+        else:
+            from .plans.fast_dedup import fast_lsh_dedup
+
+            stats: dict = {}
+            out = fast_lsh_dedup(
+                df, cfg,
+                num_perm=args.num_perm, num_bands=args.num_bands,
+                max_bucket_size=args.max_bucket_size, salt_above=args.salt_above,
+                text_col=args.text_col, id_col=args.id_col,
+                shingle=args.shingle, drop_stats=stats,
+            )
+            print(json.dumps({"bucket_drop_stats": stats}))
+    elif args.command == "pairs":
+        from .operators.dedup import near_duplicate_pairs
+
+        cfg = MatchConfig(min_similarity=args.min_similarity, max_n_matches=1_000_000)
+        out = near_duplicate_pairs(df, cfg, text_col=args.text_col, id_col=args.id_col)
+    elif args.command == "exact-dedup":
+        from .operators.dedup import exact_duplicate_groups
+
+        out = exact_duplicate_groups(df, text_col=args.text_col, id_col=args.id_col)
+    elif args.command == "topk":
+        from .operators import ann
+
+        if args.method == "blocked":
+            out = ann.cosine_topk_blocked(df, k=args.k, id_col=args.id_col, vec_col=args.vec_col)
+        elif args.method == "lsh":
+            dim = len(df.select(args.vec_col).first()[0])
+            out = ann.lsh_cosine_topk(df, dim=dim, k=args.k, id_col=args.id_col, vec_col=args.vec_col)
+        else:
+            out = ann.ivf_cosine_topk(df, k=args.k, id_col=args.id_col, vec_col=args.vec_col)
+    else:  # pragma: no cover
+        raise SystemExit(2)
+
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"command": args.command, "output": args.output, "rows": n}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

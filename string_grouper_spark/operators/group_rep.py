@@ -76,6 +76,28 @@ def _with_pos(df: DataFrame, pos_col: Optional[str]) -> DataFrame:
     )
 
 
+def _dateutil_parse_udf(parserinfo=None, **kwargs):
+    """Arrow-vectorized dateutil parser column: arbitrary date-like strings
+    -> UTC timestamps (reference SGU:139-155 semantics on the Spark layer).
+    Unparseable strings raise, matching the reference's hard error."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import TimestampType
+
+    @pandas_udf(TimestampType())
+    def parse_ts(s: pd.Series) -> pd.Series:
+        from datetime import timezone
+
+        from dateutil.parser import parse
+
+        return s.map(
+            lambda x: None
+            if x is None
+            else parse(x, parserinfo, **kwargs).astimezone(timezone.utc)
+        )
+
+    return parse_ts
+
+
 def group_rep_by_earliest_timestamp(
     df: DataFrame,
     group_col: str,
@@ -83,17 +105,26 @@ def group_rep_by_earliest_timestamp(
     timestamp_col: str,
     record_name_col: Optional[str] = None,
     pos_col: Optional[str] = None,
+    timestamp_parser: str = "iso",
+    parserinfo=None,
+    **parse_kwargs,
 ) -> DataFrame:
     """Rep = row with min timestamp per group (SGU:11-41).
 
-    ``timestamp_col`` may be a timestamp or a parseable string (ISO handled
-    by ``to_timestamp``; fuzzier formats should be pre-parsed by the caller
-    via the pandas wrapper which uses dateutil).
+    ``timestamp_col`` may be a timestamp or a parseable string.  String
+    parsing: ``timestamp_parser='iso'`` uses the JVM ``to_timestamp``
+    (codegen, no Python); ``'dateutil'`` routes through an Arrow-vectorized
+    dateutil parser for arbitrary/fuzzy formats, honoring ``parserinfo`` and
+    dateutil kwargs (e.g. ``fuzzy=True``) — same grammar as the pandas
+    wrapper ``new_group_rep_by_earliest_timestamp``.
     """
     df = _with_pos(df, pos_col)
     ts = F.col(timestamp_col)
     if dict(df.dtypes)[timestamp_col] == "string":
-        ts = F.to_timestamp(ts)
+        if timestamp_parser == "dateutil":
+            ts = _dateutil_parse_udf(parserinfo, **parse_kwargs)(ts)
+        else:
+            ts = F.to_timestamp(ts)
     out_cols = [record_id_col] + ([record_name_col] if record_name_col else [])
     return _rep_by_weight(df, group_col, ts, True, out_cols).drop("_pos")
 

@@ -1,0 +1,49 @@
+"""CLI entry (`python -m string_grouper_spark ...`): each subcommand reads
+parquet, runs one pipeline, writes parquet."""
+
+import pandas as pd
+
+from string_grouper_spark.__main__ import main
+
+
+def test_cli_dedup_and_exact(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog!",
+                "the quick brown fox jumps over the lazy dog",
+                "completely different text about spark shuffles",
+                "completely different text about spark shuffles",
+                "something else entirely in this corpus now",
+            ],
+        }
+    )
+    src = f"{tmp_path}/docs"
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    out1 = f"{tmp_path}/clusters"
+    assert main(["dedup", "--input", src, "--output", out1,
+                 "--min-similarity", "0.8", "--num-bands", "32"]) == 0
+    clusters = spark.read.parquet(out1).toPandas().set_index("doc_id")["component"]
+    assert clusters.loc[0] == clusters.loc[1] == clusters.loc[2]
+    assert clusters.loc[3] == clusters.loc[4]
+    assert clusters.loc[5] == 5
+
+    out2 = f"{tmp_path}/exact"
+    assert main(["exact-dedup", "--input", src, "--output", out2]) == 0
+    exact = spark.read.parquet(out2).toPandas()
+    assert len(exact) == 2  # two exactly-duplicated contents
+    assert set(exact["n_docs"]) == {2}
+
+
+def test_cli_topk(spark, tmp_path):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = f"{tmp_path}/emb"
+    emb.write.parquet(src)
+    out = f"{tmp_path}/topk"
+    assert main(["topk", "--input", src, "--output", out, "--k", "3"]) == 0
+    got = spark.read.parquet(out).toPandas()
+    assert set(got.columns) == {"query_id", "item_id", "cos"}
+    assert got.groupby("query_id").size().max() <= 3

@@ -91,6 +91,32 @@ def test_pandas_timestamp_bad_strings_raise(customers_df):
         new_group_rep_by_earliest_timestamp(df, "group_id", "Customer ID", "timestamp")
 
 
+def test_spark_earliest_timestamp_dateutil_parser(spark, customers_df):
+    # the DataFrame-layer operator handles fuzzy formats too when asked
+    df = fixture_df(customers_df)
+    df["timestamp"] = [
+        "30 December 2014 10:55 am",
+        "April 14, 1998 9:21:11",
+        "the 1st of July 2001 at noon",
+        "28/02/2017 07:17",
+        "11 Nov 2011 11:11AM",
+        "May 18th 1995, 6:25 pm",
+    ]
+    df["pos"] = range(len(df))
+    sdf = spark.createDataFrame(df.rename(columns={"Customer ID": "cid"}))
+    out = (
+        group_rep_by_earliest_timestamp(
+            sdf, "group_id", "cid", "timestamp",
+            pos_col="pos", timestamp_parser="dateutil", fuzzy=True,
+        )
+        .toPandas()
+        .sort_values("pos")
+    )
+    assert out["new_cid"].tolist() == [
+        "EE059082Q", "CC082744L", "CC082744L", "CC082744L", "HH072982K", "EE059082Q"
+    ]
+
+
 def test_pandas_highest_weight(customers_df):
     df = fixture_df(customers_df)
     got = new_group_rep_by_highest_weight(df, "group_id", "Customer ID", "weight")

@@ -70,3 +70,15 @@ def test_lsh_clusters_invariant_to_partitioning(spark, docs):
         labels = lsh_dedup_clusters(d, cfg, num_bands=16, n_docs=500).toPandas()
         outs.append(labels.sort_values("doc_id").reset_index(drop=True))
     pdt.assert_frame_equal(outs[0], outs[1])
+
+
+def test_fast_plan_invariant_to_partitioning(spark, docs):
+    from string_grouper_spark.plans.fast_dedup import fast_lsh_dedup
+
+    cfg = MatchConfig(min_similarity=0.8, max_n_matches=1_000_000)
+    outs = []
+    for nparts in (1, 16):
+        d = docs.repartition(nparts)
+        labels = fast_lsh_dedup(d, cfg, num_bands=16, n_docs=500).toPandas()
+        outs.append(labels.sort_values("doc_id").reset_index(drop=True))
+    pdt.assert_frame_equal(outs[0], outs[1])

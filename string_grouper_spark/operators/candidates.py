@@ -278,6 +278,72 @@ def minhash_candidates(
     return _bucket_pairs(bands, max_bucket_size)
 
 
+def minhash_candidates_bipartite(
+    master: DataFrame,
+    duplicates: DataFrame,
+    cfg: MatchConfig,
+    num_perm: int = 128,
+    num_bands: int = 64,
+    max_bucket_size: Optional[int] = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH candidates ACROSS two corpora: (master_side, dupe_side).
+
+    The incremental-dedup workflow at scale: match a NEW batch
+    (``duplicates``) against an EXISTING corpus (``master``) without the
+    all-pairs join — both sides band with the same seeded permutations, so
+    a cross-corpus pair collides exactly as it would in a self-join.
+    ``max_bucket_size`` caps each side's bucket independently (a bucket
+    contributes |m| * |d| join rows).
+    """
+    bm = minhash_bands(master, cfg, num_perm, num_bands, text_col, id_col)
+    bd = minhash_bands(duplicates, cfg, num_perm, num_bands, text_col, id_col)
+
+    def capped(bands: DataFrame) -> DataFrame:
+        if max_bucket_size is None:
+            return bands
+        grouped = bands.groupBy("band", "key").agg(F.collect_list(DOC).alias("_ds"))
+        return grouped.where(F.size("_ds") <= max_bucket_size).select(
+            "band", "key", F.explode("_ds").alias(DOC)
+        )
+
+    l = capped(bm).select("band", "key", F.col(DOC).alias(LEFT))
+    r = capped(bd).select("band", "key", F.col(DOC).alias(RIGHT))
+    return l.join(r, ["band", "key"]).select(LEFT, RIGHT).dropDuplicates([LEFT, RIGHT])
+
+
+def rescored_pairs_bipartite(
+    master: DataFrame,
+    duplicates: DataFrame,
+    candidates: DataFrame,
+    cfg: MatchConfig,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_master: Optional[int] = None,
+    n_duplicates: Optional[int] = None,
+) -> DataFrame:
+    """Exact TF-IDF cosine on cross-corpus candidates; sim >= min_similarity.
+
+    Corpus fit spans BOTH sides (reference semantics: one vocabulary/IDF
+    over master+duplicates, SG:699-707), so scores equal the exact
+    two-series path's.
+    """
+    from ..functions.tfidf import tfidf_postings
+    from .similarity import SIM, score_pairs_packed
+
+    m_post, d_post, _ = tfidf_postings(
+        master.select(F.col(id_col).alias(DOC), F.col(text_col).alias("text")),
+        duplicates.select(F.col(id_col).alias(DOC), F.col(text_col).alias("text")),
+        cfg,
+        id_col=DOC,
+        n_master=n_master,
+        n_duplicates=n_duplicates,
+    )
+    scored = score_pairs_packed(candidates, m_post, d_post)
+    return scored.where(F.col(SIM) >= float(cfg.min_similarity))
+
+
 # --------------------------------------------------------------------------
 # 64-bit SimHash + block probing
 # --------------------------------------------------------------------------

@@ -203,6 +203,37 @@ def test_megabucket_drop_accounting_and_salting(spark):
     assert comp.loc[62] == 62
 
 
+def test_bipartite_minhash_recall_vs_exact(spark, docs):
+    # incremental-dedup shape: new batch (doc_id >= 250) vs corpus (< 250);
+    # LSH candidates + exact re-score must recover the exact two-series pairs
+    from pyspark.sql import functions as F
+
+    from string_grouper_spark.functions.tfidf import tfidf_postings
+    from string_grouper_spark.operators.similarity import SIM, cosine_join
+
+    master = docs.where(F.col("doc_id") < 250)
+    dupes = docs.where(F.col("doc_id") >= 250)
+    cfg = MatchConfig(min_similarity=0.5, max_n_matches=1_000_000)
+
+    m_post, d_post, _ = tfidf_postings(
+        master.select(F.col("doc_id").alias("row_id"), "text"),
+        dupes.select(F.col("doc_id").alias("row_id"), "text"),
+        cfg,
+    )
+    exact = cosine_join(m_post, d_post, 0.5).toPandas()
+    want = {(l, r): s for l, r, s in zip(exact[LEFT], exact[RIGHT], exact[SIM])}
+    assert want, "fixture should contain cross-side near-dups"
+
+    pairs = cand.minhash_candidates_bipartite(master, dupes, cfg, num_perm=128, num_bands=64)
+    got_df = cand.rescored_pairs_bipartite(master, dupes, pairs, cfg).toPandas()
+    got = {(l, r): s for l, r, s in zip(got_df[LEFT], got_df[RIGHT], got_df[SIM])}
+    recall = len(set(got) & set(want)) / len(want)
+    assert recall >= 0.99, recall
+    assert set(got) <= set(want)  # precision exact by construction
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9  # same corpus-wide IDF
+
+
 def test_candidate_max_df_ratio_prunes_generation_not_scores(spark, docs, exact_pairs):
     # the stop-gram guard must only SKIP pairs, never change a similarity
     from string_grouper_spark.operators.similarity import SIM

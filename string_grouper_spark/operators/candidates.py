@@ -503,20 +503,50 @@ def jaccard_pairs(
     min_jaccard: float = 0.4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    candidate_max_df_ratio: Optional[float] = None,
+    n_docs: Optional[int] = None,
 ) -> DataFrame:
-    """Exact distinct-3-gram Jaccard similarity join: (l, r, jaccard) l<r."""
+    """Exact distinct-3-gram Jaccard similarity join: (l, r, jaccard) l<r.
+
+    ``candidate_max_df_ratio``: the same stop-gram guard as the cosine path
+    — grams hotter than the ratio are dropped from CANDIDATE GENERATION
+    only (the Zipf-skew guard for the inverted-index join at web scale);
+    surviving pairs get their intersection recounted EXACTLY from packed
+    per-doc gram sets, so every emitted jaccard value is exact.  Pairs
+    sharing only hot grams are skipped — recall accounting is tested, never
+    silently assumed.
+    """
     tokens = tokenize(docs, cfg, text_col=text_col, id_col=id_col).dropDuplicates(
         [DOC, GRAM]
     )
     sizes = tokens.groupBy(DOC).agg(F.count(F.lit(1)).alias("sz"))
-    l = tokens.select(F.col(DOC).alias(LEFT), GRAM)
-    r = tokens.select(F.col(DOC).alias(RIGHT), GRAM)
-    inter = (
-        l.join(r, GRAM)
-        .where(F.col(LEFT) < F.col(RIGHT))
-        .groupBy(LEFT, RIGHT)
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if candidate_max_df_ratio is None:
+        l = tokens.select(F.col(DOC).alias(LEFT), GRAM)
+        r = tokens.select(F.col(DOC).alias(RIGHT), GRAM)
+        inter = (
+            l.join(r, GRAM)
+            .where(F.col(LEFT) < F.col(RIGHT))
+            .groupBy(LEFT, RIGHT)
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        from .similarity import (
+            SIM,
+            candidate_pairs_from_postings,
+            score_pairs_packed,
+        )
+        from ..functions.tfidf import W
+
+        if n_docs is None:
+            n_docs = docs.count()
+        max_df = max(1, int(candidate_max_df_ratio * n_docs))
+        # unit-weight "postings": the packed sparse-dot kernel then computes
+        # exact intersection sizes for candidate pairs only
+        unit_postings = tokens.withColumn(W, F.lit(1.0))
+        cand = candidate_pairs_from_postings(unit_postings, max_df)
+        inter = score_pairs_packed(cand, unit_postings).select(
+            LEFT, RIGHT, F.col(SIM).cast("long").alias("inter")
+        ).where(F.col("inter") > 0)
     out = (
         inter.join(sizes.select(F.col(DOC).alias(LEFT), F.col("sz").alias("_szl")), LEFT)
         .join(sizes.select(F.col(DOC).alias(RIGHT), F.col("sz").alias("_szr")), RIGHT)

@@ -109,6 +109,22 @@ def test_substring_containment_exact(spark):
     assert all(p[0] != 3 and p[1] != 3 for p in got)
 
 
+def test_jaccard_stop_gram_guard_exact_values(spark, docs):
+    # the guarded path must emit a SUBSET of the exact join with IDENTICAL
+    # jaccard values (packed recount), and near-full recall on this corpus
+    cfg = MatchConfig()
+    full = cand.jaccard_pairs(docs, cfg, min_jaccard=0.5).toPandas()
+    pruned = cand.jaccard_pairs(
+        docs, cfg, min_jaccard=0.5, candidate_max_df_ratio=0.2
+    ).toPandas()
+    f = {(l, r): j for l, r, j in zip(full[LEFT], full[RIGHT], full["jaccard"])}
+    p = {(l, r): j for l, r, j in zip(pruned[LEFT], pruned[RIGHT], pruned["jaccard"])}
+    assert set(p) <= set(f)
+    for k, v in p.items():
+        assert abs(f[k] - v) < 1e-12
+    assert len(p) / len(f) >= 0.99, (len(p), len(f))
+
+
 def test_substring_winnowed_matches_bruteforce(spark, docs):
     # the winnowing-sampled index must still be EXACT: same output as an
     # O(n^2) containment scan of the normalized corpus

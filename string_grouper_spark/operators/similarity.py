@@ -53,13 +53,23 @@ def prune_hot_grams(postings: DataFrame, max_df: int) -> DataFrame:
     The reference has no analogue (dense matmul touches everything); at web
     scale a gram like ``'the'`` would produce df^2 join rows.  Use ONLY for
     candidate generation — recall accounting is the caller's job.
+
+    Plan shape matters here: the document frequency is computed with
+    ``groupBy(gram).count()`` (map-side partial agg — the shuffle carries
+    ~|vocab| rows per partition, not the postings), and the HOT-gram set —
+    tiny by definition (|vocab| * max_df_ratio at most) — is broadcast and
+    anti-joined out.  A ``Window.partitionBy(gram)`` formulation would
+    shuffle the full posting rows BY THE SKEWED KEY and land every hot
+    gram's postings in one task: the exact skew this guard exists to avoid,
+    paid before the guard could apply.
     """
-    w = Window.partitionBy(GRAM)
-    return (
-        postings.withColumn("_df", F.count(F.lit(1)).over(w))
-        .where(F.col("_df") <= max_df)
-        .drop("_df")
+    hot = (
+        postings.groupBy(GRAM)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_df)
+        .select(GRAM)
     )
+    return postings.join(F.broadcast(hot), GRAM, "left_anti")
 
 
 def candidate_pairs_from_postings(postings: DataFrame, max_df: int) -> DataFrame:

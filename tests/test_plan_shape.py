@@ -94,6 +94,26 @@ def test_group_rep_never_collapses_to_single_partition(spark):
         assert "SinglePartition" not in plan, plan
 
 
+def test_prune_hot_grams_is_agg_plus_broadcast_anti_join(spark, docs):
+    # VERDICT r2 "what's wrong #1": the stop-gram guard must compute df with
+    # a map-side partial count (groupBy, ~|vocab| shuffle rows) and remove
+    # hot grams via a BROADCAST anti-join — never a Window over the skewed
+    # gram key (which would shuffle full posting rows by gram and land every
+    # hot gram's postings in one task before the guard can apply)
+    from string_grouper_spark.functions.tfidf import tfidf_postings
+    from string_grouper_spark.operators.similarity import prune_hot_grams
+
+    cfg = MatchConfig()
+    p, _, _ = tfidf_postings(docs, None, cfg, id_col="doc_id", assume_ascii=True)
+    plan = plan_of(prune_hot_grams(p, max_df=50))
+    # the postings build itself windows over doc_id (L2 norm) — what must
+    # NOT exist is a window partitioned by the skewed gram key
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert not any("gram" in ln for ln in win_lines), win_lines
+    assert "partial_count" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
 def test_ann_broadcasts_query_side(spark):
     from string_grouper_spark.operators.ann import cosine_topk_bruteforce
 

@@ -63,6 +63,29 @@ def q_groups_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", "group_rep")
 
 
+def q_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP production pipeline, oracle-gated: MinHash-LSH candidate
+    generation -> packed exact TF-IDF re-score -> connected components
+    (plans/fast_dedup.fast_lsh_dedup).
+
+    Config chosen so candidate recall is effectively 1.0 on this corpus:
+    r=2 rows x 64 bands over char-3-gram shingles emits a pair with
+    gram-Jaccard j with probability 1-(1-j^2)^64 (>0.999 for j >= 0.30; the
+    0.5-cosine near-dup pairs here sit well above that floor), no bucket cap
+    (max_bucket_size=None), deterministic seeded permutations — verified
+    equal to the exact all-pairs closure (the ``components`` oracle) at
+    sf0.001 and sf0.01.  Mirrors the reference's blocking-equivalence
+    invariant (test_string_grouper.py:191-336): the scale plan must produce
+    the exact path's answer."""
+    from string_grouper_spark.plans.fast_dedup import fast_lsh_dedup
+
+    docs = _docs(spark, sf_dir)
+    out = fast_lsh_dedup(
+        docs, _cfg(0.5), num_perm=128, num_bands=64, max_bucket_size=None
+    )
+    return out.select("doc_id", "component")
+
+
 def q_most_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/D2: per-duplicate argmax join (masters: doc_id<250, dupes: >=250).
 
@@ -252,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_pairs": q_match_pairs,
         "components": q_components,
         "groups_centroid": q_groups_centroid,
+        "lsh_dedup": q_lsh_dedup,
         "most_similar": q_most_similar,
         "pairwise": q_pairwise,
         "exact_dedup": q_exact_dedup,
@@ -329,6 +353,10 @@ _ORACLES["match_pairs"] = (
 _ORACLES["components"] = (
     _TFIDF_PRELUDE + _COMPONENTS_CTES + "SELECT doc_id, component FROM comp"
 )
+
+# The flagship LSH pipeline must reproduce the exact all-pairs closure —
+# same oracle as `components` (candidate recall 1.0 at the chosen banding).
+_ORACLES["lsh_dedup"] = _ORACLES["components"]
 
 _ORACLES["groups_centroid"] = (
     _TFIDF_PRELUDE

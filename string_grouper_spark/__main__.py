@@ -33,15 +33,31 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--id-col", default="doc_id")
         sp.add_argument("--min-similarity", type=float, default=0.8)
 
-    d = sub.add_parser("dedup", help="near-dup clustering (MinHash-LSH flagship)")
+    d = sub.add_parser(
+        "dedup",
+        help="near-dup clustering (MinHash-LSH flagship; output (<id>, "
+        "component), component = min id). --checkpoint-root makes the SAME "
+        "pipeline resumable — schema and semantics never change.",
+    )
     common(d)
     d.add_argument("--num-perm", type=int, default=128)
     d.add_argument("--num-bands", type=int, default=16)
     d.add_argument("--shingle", choices=["char", "word"], default="char")
     d.add_argument("--max-bucket-size", type=int, default=1000)
-    d.add_argument("--salt-above", type=int, default=None)
+    d.add_argument("--salt-above", default="auto",
+                   help="int threshold, 'auto' (histogram-picked, default) or 'none'")
     d.add_argument("--checkpoint-root", default=None,
                    help="resume-able stage tables under this root")
+
+    de = sub.add_parser(
+        "dedup-exact",
+        help="exact all-pairs TF-IDF clustering with CENTROID representative "
+        "(reference group_similar_strings semantics; output (<id>, "
+        "group_rep)) — the small/parity path, distinct from the LSH flagship",
+    )
+    common(de)
+    de.add_argument("--checkpoint-root", default=None,
+                    help="resume-able stage tables under this root")
 
     pr = sub.add_parser("pairs", help="exact TF-IDF cosine near-dup pairs")
     common(pr)
@@ -73,6 +89,34 @@ def main(argv: Optional[list] = None) -> int:
 
     if args.command == "dedup":
         cfg = MatchConfig(min_similarity=args.min_similarity, max_n_matches=1_000_000)
+        salt = args.salt_above
+        if isinstance(salt, str):
+            salt = None if salt == "none" else ("auto" if salt == "auto" else int(salt))
+        stats: dict = {}
+        if args.checkpoint_root:
+            from .checkpoint import checkpointed_lsh_dedup_pipeline
+
+            out = checkpointed_lsh_dedup_pipeline(
+                spark, df, cfg, args.checkpoint_root,
+                num_perm=args.num_perm, num_bands=args.num_bands,
+                max_bucket_size=args.max_bucket_size, salt_above=salt,
+                shingle=args.shingle, text_col=args.text_col,
+                id_col=args.id_col, drop_stats=stats,
+            )
+        else:
+            from .plans.fast_dedup import fast_lsh_dedup
+
+            out = fast_lsh_dedup(
+                df, cfg,
+                num_perm=args.num_perm, num_bands=args.num_bands,
+                max_bucket_size=args.max_bucket_size, salt_above=salt,
+                text_col=args.text_col, id_col=args.id_col,
+                shingle=args.shingle, drop_stats=stats,
+            )
+        # skew/drop accounting goes to stderr so stdout stays one JSON line
+        print(json.dumps({"skew_policy": stats}), file=sys.stderr)
+    elif args.command == "dedup-exact":
+        cfg = MatchConfig(min_similarity=args.min_similarity, max_n_matches=1_000_000)
         if args.checkpoint_root:
             from .checkpoint import checkpointed_dedup_pipeline
 
@@ -81,17 +125,11 @@ def main(argv: Optional[list] = None) -> int:
                 text_col=args.text_col, id_col=args.id_col,
             )
         else:
-            from .plans.fast_dedup import fast_lsh_dedup
+            from .operators.dedup import near_duplicate_clusters
 
-            stats: dict = {}
-            out = fast_lsh_dedup(
-                df, cfg,
-                num_perm=args.num_perm, num_bands=args.num_bands,
-                max_bucket_size=args.max_bucket_size, salt_above=args.salt_above,
-                text_col=args.text_col, id_col=args.id_col,
-                shingle=args.shingle, drop_stats=stats,
+            out = near_duplicate_clusters(
+                df, cfg, text_col=args.text_col, id_col=args.id_col
             )
-            print(json.dumps({"bucket_drop_stats": stats}))
     elif args.command == "pairs":
         from .operators.dedup import near_duplicate_pairs
 

@@ -42,14 +42,20 @@ def _fingerprint(*parts) -> str:
 
 
 def input_fingerprint(df: DataFrame, cols: Optional[list] = None) -> str:
-    """Content fingerprint of an input DataFrame: row count + order-free
-    bit_xor of per-row xxhash64 over ``cols`` (default: all columns).  One
-    cheap scan; folded into the run fingerprint so a resume NEVER returns
-    stale checkpoints when the input data changed under the same config."""
+    """Content fingerprint of an input DataFrame, order-free and
+    MULTIPLICITY-EXACT: per-row xxhash64 over ``cols`` (built with column
+    objects, so names needing quoting are safe), grouped to (hash, count),
+    then bit_xor of xxhash64(hash, count).  A plain xor of row hashes would
+    cancel any row duplicated an even number of times; folding the count in
+    makes compensating edits visible.  Two small aggregations; folded into
+    the run fingerprint so a resume NEVER returns stale checkpoints when
+    the input data changed under the same config."""
     cols = cols or df.columns
-    row = df.select(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.expr(f"bit_xor(xxhash64({', '.join(cols)}))"), F.lit(0)).alias("h"),
+    per_row = df.select(F.xxhash64(*[F.col(c) for c in cols]).alias("_h"))
+    hist = per_row.groupBy("_h").agg(F.count(F.lit(1)).alias("_c"))
+    row = hist.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("_h", "_c")), F.lit(0)).alias("h"),
     ).first()
     return _fingerprint({"rows": row["n"], "hash": row["h"], "cols": cols})
 
@@ -114,9 +120,15 @@ class StageCheckpointer:
         sdir = self._stage_dir(name)
         meta_path = self._meta_path(name)
 
+        # catalog tables carry the STAGE fingerprint in the identifier (it
+        # folds in the run fingerprint), so two runs with different
+        # roots/configs sharing one catalog namespace can never overwrite —
+        # or silently resume — each other's tables
+        table_name = f"{name}_{fp}_data"
+
         def read_stage() -> DataFrame:
             if self.io is not None:
-                return self.io.read(f"{name}_data")
+                return self.io.read(table_name)
             return self.spark.read.parquet(f"{sdir}/data")
 
         if os.path.exists(meta_path):
@@ -143,7 +155,7 @@ class StageCheckpointer:
         )
         lineage.write.mode("append").parquet(f"{self.root}/_lineage")
         if self.io is not None:
-            self.io.write(written.drop("_pid"), f"{name}_data", mode="overwrite")
+            self.io.write(written.drop("_pid"), table_name, mode="overwrite")
         else:
             written.drop("_pid").write.mode("overwrite").parquet(f"{sdir}/data")
         rows_out = written.count()
@@ -234,5 +246,122 @@ def checkpointed_dedup_pipeline(
             edges, docs.select(F.col(id_col).alias("row_id")), cfg
         ).withColumnRenamed("node", id_col),
         upstream_fps=[ck.stage_fingerprint("edges")],
+    )
+    return labels
+
+
+def checkpointed_lsh_dedup_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg,
+    root: str,
+    num_perm: int = 128,
+    num_bands: int = 16,
+    max_bucket_size: Optional[int] = 1000,
+    salt_above="auto",
+    shingle: str = "char",
+    shingle_words: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    drop_stats: Optional[dict] = None,
+    io=None,
+) -> DataFrame:
+    """The FLAGSHIP fast LSH pipeline (plans.fast_dedup semantics) cut at
+    its natural shuffle boundaries, each stage resumable:
+
+        vectors  narrow vectorize passes (packed TF-IDF + band keys)
+        pairs    bucket join -> exact packed re-score, sim >= threshold
+        labels   connected components (min-id)
+
+    Output contract is IDENTICAL to ``fast_lsh_dedup``: (<id_col>,
+    component) — so toggling ``--checkpoint-root`` on the CLI never changes
+    the schema or semantics of the same command.  The measured skew/drop
+    policy (candidates.auto_skew_policy) is recorded as a ``skew_policy``
+    row in the run's ``_metrics`` table, so bucket drops are never silent.
+    """
+    from .operators.candidates import (
+        _grouped_bucket_pairs,
+        _salted_self_pairs,
+        auto_skew_policy,
+        bucket_drop_stats,
+    )
+    from .operators.grouping import connected_components
+    from .operators.similarity import LEFT, RIGHT, SIM, _sparse_dot
+    from .plans.fast_dedup import doc_term_arrays, doc_vectors
+
+    knobs = {
+        "plan": "fast_lsh", "num_perm": num_perm, "num_bands": num_bands,
+        "max_bucket_size": max_bucket_size, "shingle": shingle,
+        "shingle_words": shingle_words,
+    }
+    ck = StageCheckpointer(
+        spark, root, run_config={"cfg": cfg, **knobs},
+        input_fp=input_fingerprint(docs, [id_col, text_col]), io=io,
+    )
+    n_docs = docs.count()
+
+    cache = {}
+
+    def build_vecs():
+        terms = doc_term_arrays(docs, cfg, text_col, id_col, shingle, shingle_words)
+        cache["terms"] = terms.persist()
+        return doc_vectors(
+            docs, cfg, num_perm, num_bands, text_col, id_col, n_docs,
+            terms=cache["terms"], shingle=shingle, shingle_words=shingle_words,
+        )
+
+    vecs = ck.stage("vectors", build_vecs)
+    if "terms" in cache:
+        cache["terms"].unpersist()
+    fp_vecs = ck.stage_fingerprint("vectors")
+
+    def build_pairs():
+        buckets = vecs.where(F.col("bands").isNotNull()).select(
+            "doc_id", F.posexplode("bands").alias("band", "key")
+        )
+        nonlocal salt_above
+        if salt_above == "auto":
+            policy = auto_skew_policy(buckets, max_bucket_size)
+            salt_above = policy["salt_above"]
+        else:
+            policy = {"salt_above": salt_above,
+                      **bucket_drop_stats(buckets, max_bucket_size)}
+        cache["policy"] = policy
+        if drop_stats is not None:
+            drop_stats.update(policy)
+        if salt_above is None:
+            raw = _grouped_bucket_pairs(buckets, max_bucket_size)
+        else:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("band", "key")
+            sized = buckets.withColumn("_sz", F.count(F.lit(1)).over(w))
+            if max_bucket_size is not None:
+                sized = sized.where(F.col("_sz") <= max_bucket_size)
+            raw = _salted_self_pairs(sized, salt_above)
+        cand = raw.dropDuplicates([LEFT, RIGHT])
+        pl = vecs.select(F.col("doc_id").alias(LEFT), F.col("codes").alias("_g1"), F.col("ws").alias("_w1"))
+        pr = vecs.select(F.col("doc_id").alias(RIGHT), F.col("codes").alias("_g2"), F.col("ws").alias("_w2"))
+        return (
+            cand.join(pl, LEFT)
+            .join(pr, RIGHT)
+            .select(LEFT, RIGHT, _sparse_dot("_g1", "_w1", "_g2", "_w2").alias(SIM))
+            .where(F.col(SIM) >= float(cfg.min_similarity))
+        )
+
+    pairs = ck.stage("pairs", build_pairs, upstream_fps=[fp_vecs])
+    if "policy" in cache:
+        # the measured skew/drop accounting is part of the run's metrics
+        ck._append_metrics(
+            {"stage": "skew_policy", "fingerprint": ck.stage_fingerprint("pairs"),
+             **cache["policy"]}
+        )
+    labels = ck.stage(
+        "labels",
+        lambda: connected_components(
+            pairs.select(F.col(LEFT).alias("u"), F.col(RIGHT).alias("v")),
+            docs.select(F.col(id_col)),
+        ).withColumnRenamed("node", id_col),
+        upstream_fps=[ck.stage_fingerprint("pairs")],
     )
     return labels

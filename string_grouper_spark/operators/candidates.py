@@ -160,6 +160,60 @@ def bucket_drop_stats(
     }
 
 
+def auto_skew_policy(
+    buckets: DataFrame,
+    max_bucket_size: Optional[int] = None,
+    parallelism: Optional[int] = None,
+    target_pairs_per_task: int = 4_000_000,
+) -> dict:
+    """ONE aggregation pass over the band table picks the hot-bucket salt
+    threshold from the MEASURED bucket-size histogram (SURVEY §4.2(2): "s
+    chosen from a first-pass key histogram") and returns the full skew /
+    drop accounting, so a production run never drops or skews silently.
+
+    Policy: a bucket needs salting when its own pair work (sz^2/2) exceeds a
+    fair per-task share of the total surviving pair work —
+    ``per_task = max(target_pairs_per_task, est_pairs / parallelism)``,
+    ``salt_above = ceil(sqrt(2 * per_task))``.  If no surviving bucket
+    exceeds that, salting is skipped (returns ``salt_above=None``) — the
+    common case, where the grouped one-shuffle pairing is strictly better.
+
+    Returned dict: ``salt_above`` plus the histogram summary
+    (n_buckets / max_sz / est_pairs) and the drop accounting vs
+    ``max_bucket_size`` (n_buckets_dropped / n_rows_dropped /
+    est_pairs_dropped) — everything a caller should LOG with the run.
+    """
+    import math
+
+    if parallelism is None:
+        parallelism = buckets.sparkSession.sparkContext.defaultParallelism
+    sz = F.col("sz")
+    pairs_of = sz * (sz - 1) / 2  # double arithmetic: no ANSI long overflow
+    surviving = sz <= max_bucket_size if max_bucket_size is not None else F.lit(True)
+    sizes = buckets.groupBy("band", "key").agg(F.count(F.lit(1)).alias("sz"))
+    row = sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.coalesce(F.max(F.when(surviving, sz)), F.lit(0)).alias("max_sz"),
+        F.coalesce(F.sum(F.when(surviving, pairs_of)), F.lit(0.0)).alias("est_pairs"),
+        F.coalesce(F.count(F.when(~surviving, F.lit(1))), F.lit(0)).alias("nb_drop"),
+        F.coalesce(F.sum(F.when(~surviving, sz)), F.lit(0)).alias("nr_drop"),
+        F.coalesce(F.sum(F.when(~surviving, pairs_of)), F.lit(0.0)).alias("np_drop"),
+    ).first()
+    est_pairs = float(row["est_pairs"])
+    per_task = max(float(target_pairs_per_task), est_pairs / max(parallelism, 1))
+    threshold = int(math.ceil(math.sqrt(2.0 * per_task)))
+    salt_above = threshold if int(row["max_sz"]) > threshold else None
+    return {
+        "salt_above": salt_above,
+        "n_buckets": int(row["n_buckets"]),
+        "max_sz": int(row["max_sz"]),
+        "est_pairs": int(est_pairs),
+        "n_buckets_dropped": int(row["nb_drop"]),
+        "n_rows_dropped": int(row["nr_drop"]),
+        "est_pairs_dropped": int(row["np_drop"]),
+    }
+
+
 def _salted_self_pairs(buckets: DataFrame, salt_above: Optional[int]) -> DataFrame:
     """Self-join a (band, key, <doc>, _sz) bucket table into pairs l<r.
 
@@ -244,8 +298,12 @@ def _bucket_pairs(
     whole job.  Drop impact is observable via ``bucket_drop_stats`` — never
     silently assumed.  Default strategy = grouped map-side pairing (one
     shuffle); with ``salt_above`` set, the salted self-join spreads hot
-    buckets over many tasks instead (``_salted_self_pairs``).
+    buckets over many tasks instead (``_salted_self_pairs``);
+    ``salt_above='auto'`` picks the threshold from the measured histogram
+    (``auto_skew_policy``).
     """
+    if salt_above == "auto":
+        salt_above = auto_skew_policy(buckets, max_bucket_size)["salt_above"]
     if salt_above is None:
         return _grouped_bucket_pairs(buckets, max_bucket_size).dropDuplicates(
             [LEFT, RIGHT]
@@ -348,9 +406,17 @@ def rescored_pairs_bipartite(
 # 64-bit SimHash + block probing
 # --------------------------------------------------------------------------
 
+_BIT_VALUES = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
 @pandas_udf(LongType())
 def _simhash64(hashes: pd.Series, tfs: pd.Series) -> pd.Series:
-    """Weighted 64-bit SimHash from gram hashes + term frequencies."""
+    """Weighted 64-bit SimHash from gram hashes + term frequencies.
+
+    Fully vectorized per doc: bit extraction, the ±tf vote sum AND the
+    sign-fold are numpy array ops (the fold = sum of the distinct powers of
+    two whose vote is positive — exact in uint64, then a C-cast view back to
+    int64).  No per-bit Python loop."""
     out = np.zeros(len(hashes), dtype=np.int64)
     for i, (h, tf) in enumerate(zip(hashes, tfs)):
         if h is None or len(h) == 0:
@@ -363,10 +429,8 @@ def _simhash64(hashes: pd.Series, tfs: pd.Series) -> pd.Series:
             np.float64
         )
         acc = (w[:, None] * (2.0 * bits - 1.0)).sum(axis=0)
-        sig = np.uint64(0)
-        for b in np.nonzero(acc > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig)
+        sig = _BIT_VALUES[acc > 0].sum(dtype=np.uint64)
+        out[i] = sig.astype(np.int64)  # two's-complement view, wraps exactly
     return pd.Series(out)
 
 

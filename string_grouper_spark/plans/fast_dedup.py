@@ -106,7 +106,16 @@ def _encode_doc(text: str, cfg: MatchConfig):
         codes = (codes << np.uint64(8)) | windows[:, i]
     uniq, counts = np.unique(codes, return_counts=True)
     code_dtype = np.int32 if n <= 3 else np.int64  # see _code_type
-    return uniq.astype(code_dtype), counts.astype(np.int64)
+    out = uniq.astype(code_dtype)
+    # np.unique sorts as uint64; the downstream searchsorted kernels
+    # (_sparse_dot, the idf lookup) need INT64 order.  Only ngram_size == 8
+    # can produce codes >= 2^63 (non-ASCII bytes in the top position), which
+    # wrap negative and break the order — re-sort both arrays when that
+    # happens (n <= 7 packs at most 56 bits; n <= 3 is int32-positive).
+    if n == 8 and len(out) and out[0] > out[-1]:
+        order = np.argsort(out, kind="stable")
+        return out[order], counts.astype(np.int64)[order]
+    return out, counts.astype(np.int64)
 
 
 def _word_shingle_codes(text: str, cfg: MatchConfig, shingle_words: int):
@@ -294,7 +303,7 @@ def fast_lsh_dedup(
     min_band_matches: int = 1,
     shingle: str = "char",
     shingle_words: int = 5,
-    salt_above: Optional[int] = None,
+    salt_above="auto",
     drop_stats: Optional[dict] = None,
 ) -> DataFrame:
     """End-to-end flagship: narrow vectorize -> bucket join -> packed exact
@@ -311,18 +320,28 @@ def fast_lsh_dedup(
     whose jaccard is ~0.6 despite cosine >= 0.8).
 
     Hot-bucket policy (SURVEY §4.2(2)): buckets above ``max_bucket_size``
-    are dropped; pass a ``drop_stats`` dict to receive the measured cost
-    (buckets/rows/implied-pairs dropped) so drops are never silent.  Buckets
-    above ``salt_above`` (but within the cap) are SALTED — the self-join is
-    spread over ceil(sz/salt_above)^2 sub-tasks instead of skewing one.
+    are dropped; buckets above ``salt_above`` (but within the cap) are
+    SALTED — the self-join is spread over ceil(sz/salt_above)^2 sub-tasks
+    instead of skewing one.  ``salt_above='auto'`` (the default) picks the
+    threshold from a one-pass bucket-size histogram
+    (candidates.auto_skew_policy) and ALWAYS logs the measured skew/drop
+    accounting — a default run on a corpus with a megabucket reports it
+    (WARNING log + ``drop_stats``), never drops silently.  Salting never
+    changes the emitted pair set (asserted in tests), so the auto policy is
+    output-invariant.  Pass a ``drop_stats`` dict to also receive the
+    accounting programmatically.
     """
+    import logging
+
     from ..operators.candidates import (
         _grouped_bucket_pairs,
         _salted_self_pairs,
+        auto_skew_policy,
         bucket_drop_stats,
     )
     from ..operators.grouping import connected_components
 
+    log = logging.getLogger("string_grouper_spark.skew")
     cfg = cfg or MatchConfig()
     if n_docs is None:
         n_docs = docs.count()
@@ -337,8 +356,17 @@ def fast_lsh_dedup(
         buckets = vecs.where(F.col("bands").isNotNull()).select(
             "doc_id", F.posexplode("bands").alias("band", "key")
         )
-        if drop_stats is not None:
+        if salt_above == "auto":
+            policy = auto_skew_policy(buckets, max_bucket_size)
+            salt_above = policy["salt_above"]
+            if drop_stats is not None:
+                drop_stats.update(policy)
+            emit = log.warning if policy["n_buckets_dropped"] else log.info
+            emit("lsh skew policy: %s", policy)
+        elif drop_stats is not None:
             drop_stats.update(bucket_drop_stats(buckets, max_bucket_size))
+            if drop_stats.get("n_buckets_dropped"):
+                log.warning("lsh bucket drops: %s", drop_stats)
         if salt_above is None:
             # one-shuffle grouped pairing (see _grouped_bucket_pairs)
             raw_pairs = _grouped_bucket_pairs(buckets, max_bucket_size)

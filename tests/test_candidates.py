@@ -219,6 +219,83 @@ def test_megabucket_drop_accounting_and_salting(spark):
     assert comp.loc[62] == 62
 
 
+def test_auto_skew_policy_from_histogram(spark):
+    # the threshold must come from the MEASURED bucket histogram: small
+    # buckets -> no salting; a megabucket -> salt_above derived from the
+    # per-task pair budget; drop accounting matches bucket_drop_stats
+    small = spark.createDataFrame(
+        pd.DataFrame({"band": [0] * 6, "key": [1, 1, 1, 2, 2, 3], "doc_id": range(6)})
+    )
+    pol = cand.auto_skew_policy(small, None, parallelism=8, target_pairs_per_task=100)
+    assert pol["salt_above"] is None and pol["max_sz"] == 3
+    assert pol["n_buckets_dropped"] == 0
+
+    mega = spark.createDataFrame(
+        pd.DataFrame({"band": [0] * 300, "key": [7] * 300, "doc_id": range(300)})
+    )
+    pol = cand.auto_skew_policy(mega, None, parallelism=8, target_pairs_per_task=100)
+    # 300^2/2 pairs >> budget: salt threshold = ceil(sqrt(2*per_task))
+    assert pol["salt_above"] is not None and pol["salt_above"] < 300
+    assert pol["est_pairs"] == 300 * 299 // 2
+    # with a cap, the dropped megabucket is fully accounted
+    pol_capped = cand.auto_skew_policy(mega, 100, parallelism=8)
+    assert pol_capped["n_buckets_dropped"] == 1
+    assert pol_capped["n_rows_dropped"] == 300
+    assert pol_capped["est_pairs_dropped"] == 300 * 299 // 2
+    assert pol_capped["salt_above"] is None  # nothing survives to salt
+
+
+def test_fast_dedup_default_run_reports_megabucket(spark, caplog):
+    # VERDICT r2 #2 "done =": a DEFAULT flagship run on a corpus with an
+    # engineered megabucket must REPORT the drop (warning log + stats), not
+    # silently drop it
+    import logging
+
+    from string_grouper_spark.plans.fast_dedup import fast_lsh_dedup
+
+    boiler = ["copyright terms and conditions apply to all pages here"] * 1100
+    pdf = pd.DataFrame({"doc_id": range(1102), "text": boiler + [
+        "the unique quick brown fox document number one",
+        "the unique quick brown fox document number one!",
+    ]})
+    docs = spark.createDataFrame(pdf)
+    cfg = MatchConfig(min_similarity=0.8, max_n_matches=1_000_000)
+    stats: dict = {}
+    with caplog.at_level(logging.INFO, logger="string_grouper_spark.skew"):
+        out = fast_lsh_dedup(docs, cfg, drop_stats=stats).toPandas()
+    assert stats["n_buckets_dropped"] > 0  # 1100 > default cap of 1000
+    assert stats["est_pairs_dropped"] >= 1100 * 1099 / 2
+    assert any(
+        r.levelno == logging.WARNING and "skew policy" in r.message
+        for r in caplog.records
+    ), caplog.records
+    # the non-megabucket family still clusters
+    comp = out.set_index("doc_id")["component"]
+    assert comp.loc[1100] == comp.loc[1101]
+
+
+def test_fast_dedup_auto_policy_is_output_invariant(spark):
+    # salting (or not) must never change the cluster labels — 'auto' equals
+    # an explicit salt_above=None run on the same uncapped corpus
+    from string_grouper_spark.plans.fast_dedup import fast_lsh_dedup
+
+    boiler = ["copyright terms and conditions apply to all pages here"] * 60
+    family = [
+        "the unique quick brown fox document number one",
+        "the unique quick brown fox document number one!",
+        "something else entirely different from the rest",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(63), "text": boiler + family})
+    docs = spark.createDataFrame(pdf)
+    cfg = MatchConfig(min_similarity=0.8, max_n_matches=1_000_000)
+    auto = fast_lsh_dedup(docs, cfg, max_bucket_size=None).toPandas()
+    plain = fast_lsh_dedup(docs, cfg, max_bucket_size=None, salt_above=None).toPandas()
+    a = auto.sort_values("doc_id").reset_index(drop=True)
+    p = plain.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, p)
+    assert a.set_index("doc_id")["component"].loc[range(60)].nunique() == 1
+
+
 def test_bipartite_minhash_recall_vs_exact(spark, docs):
     # incremental-dedup shape: new batch (doc_id >= 250) vs corpus (< 250);
     # LSH candidates + exact re-score must recover the exact two-series pairs

@@ -104,7 +104,11 @@ def test_checkpointer_writes_through_table_io(spark, docs, tmp_path):
 
     ck = StageCheckpointer(spark, str(tmp_path), run_config={}, io=io)
     a = ck.stage("ids", build).toPandas()
-    assert io.exists("ids_data")
+    # ADVICE r2: the table identifier carries the stage fingerprint so two
+    # runs sharing one catalog namespace can never overwrite each other
+    fp = ck.stage_fingerprint("ids")
+    assert io.exists(f"ids_{fp}_data")
+    assert not io.exists("ids_data")
     b = StageCheckpointer(spark, str(tmp_path), run_config={}, io=io).stage(
         "ids", build
     ).toPandas()
@@ -113,6 +117,15 @@ def test_checkpointer_writes_through_table_io(spark, docs, tmp_path):
         a.sort_values("doc_id").reset_index(drop=True),
         b.sort_values("doc_id").reset_index(drop=True),
     )
+    # a different config under a DIFFERENT root but the SAME io namespace
+    # gets its own table — and does not clobber the first run's
+    ck2 = StageCheckpointer(
+        spark, f"{tmp_path}/other", run_config={"v": 2}, io=io
+    )
+    ck2.stage("ids", lambda: docs.select("doc_id").limit(3))
+    fp2 = ck2.stage_fingerprint("ids")
+    assert fp2 != fp and io.exists(f"ids_{fp2}_data")
+    assert len(io.read(f"ids_{fp}_data").toPandas()) == len(a)
 
 
 def test_tmp_staging_dir_cleaned_up(spark, docs, tmp_path):
@@ -148,3 +161,38 @@ def test_pipeline_resume_equivalence(spark, docs, tmp_path):
 
     direct = near_duplicate_clusters(docs, cfg).toPandas()
     pd.testing.assert_frame_equal(c(r1), c(direct))
+
+
+def test_lsh_pipeline_checkpointed_matches_fast_and_resumes(spark, docs, tmp_path):
+    # the FLAGSHIP checkpointed variant: same output contract + values as
+    # fast_lsh_dedup, resume-identical, and the measured skew policy is a
+    # _metrics row (never a silent drop)
+    from string_grouper_spark.checkpoint import checkpointed_lsh_dedup_pipeline
+    from string_grouper_spark.plans.fast_dedup import fast_lsh_dedup
+
+    cfg = MatchConfig(min_similarity=0.8, max_n_matches=1_000_000)
+    kw = dict(num_perm=128, num_bands=32, max_bucket_size=None)
+    c = lambda d: d.sort_values("doc_id").reset_index(drop=True)
+
+    direct = c(fast_lsh_dedup(docs, cfg, **kw).toPandas())
+    r1 = c(
+        checkpointed_lsh_dedup_pipeline(
+            spark, docs, cfg, str(tmp_path), **kw
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(r1, direct)
+    assert list(r1.columns) == ["doc_id", "component"]
+
+    ck = StageCheckpointer(spark, str(tmp_path))
+    m = spark.read.json(f"{tmp_path}/_metrics").toPandas()
+    assert "skew_policy" in set(m["stage"])
+    pol = m[m["stage"] == "skew_policy"].iloc[0]
+    assert pol["n_buckets_dropped"] == 0
+
+    # resume: all three stages skip, result identical
+    r2 = c(
+        checkpointed_lsh_dedup_pipeline(
+            spark, docs, cfg, str(tmp_path), **kw
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(r2, r1)

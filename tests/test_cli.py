@@ -47,3 +47,54 @@ def test_cli_topk(spark, tmp_path):
     got = spark.read.parquet(out).toPandas()
     assert set(got.columns) == {"query_id", "item_id", "cos"}
     assert got.groupby("query_id").size().max() <= 3
+
+
+def test_cli_dedup_checkpoint_root_keeps_contract(spark, tmp_path):
+    # ADVICE r2: toggling --checkpoint-root must NOT change the output
+    # schema/semantics of `dedup` — both paths emit (doc_id, component)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog!",
+                "completely different text about spark shuffles",
+                "completely different text about spark shuffles",
+            ],
+        }
+    )
+    src = f"{tmp_path}/docs"
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    out_fast = f"{tmp_path}/fast"
+    out_ck = f"{tmp_path}/ck"
+    base = ["dedup", "--input", src, "--min-similarity", "0.8", "--num-bands", "32"]
+    assert main(base + ["--output", out_fast]) == 0
+    assert main(base + ["--output", out_ck,
+                        "--checkpoint-root", f"{tmp_path}/stages"]) == 0
+    a = spark.read.parquet(out_fast).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = spark.read.parquet(out_ck).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(a.columns) == list(b.columns) == ["doc_id", "component"]
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_cli_dedup_exact_centroid_contract(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(3),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog!",
+                "completely different text about spark shuffles",
+            ],
+        }
+    )
+    src = f"{tmp_path}/docs"
+    spark.createDataFrame(pdf).write.parquet(src)
+    out = f"{tmp_path}/exactc"
+    assert main(["dedup-exact", "--input", src, "--output", out,
+                 "--min-similarity", "0.8"]) == 0
+    got = spark.read.parquet(out).toPandas()
+    assert set(got.columns) == {"doc_id", "group_rep"}
+    g = got.set_index("doc_id")["group_rep"]
+    assert g.loc[0] == g.loc[1]

@@ -52,6 +52,11 @@ def _with_pos(df: DataFrame, pos_col: Optional[str]) -> DataFrame:
     """
     if pos_col is not None:
         return df.withColumn("_pos", F.col(pos_col))
+    # Two jobs read df (offset collect + position tagging); PERSIST pins one
+    # partition layout across both — without it AQE re-planning or lazy
+    # re-computation could shift partition ids between the jobs and the
+    # offsets would label the wrong partitions.
+    df = df.persist()
     sizes = (
         df.select(F.spark_partition_id().alias("_pid"))
         .groupBy("_pid")
@@ -67,11 +72,17 @@ def _with_pos(df: DataFrame, pos_col: Optional[str]) -> DataFrame:
         )
     )
     w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+    # LEFT join + hard error on a missing offset: an inner join would
+    # SILENTLY DROP every row of a partition id absent from the collected
+    # offsets (coalesce short-circuits, so the error fires only on null)
+    missing = F.raise_error(
+        F.lit("_with_pos: partition layout changed between jobs")
+    ).cast("long")
     return (
         df.withColumn("_pid", F.spark_partition_id())
         .withColumn("_rn", F.row_number().over(w))
-        .join(offsets_df, "_pid")
-        .withColumn("_pos", F.col("_off") + F.col("_rn"))
+        .join(offsets_df, "_pid", "left")
+        .withColumn("_pos", F.coalesce(F.col("_off"), missing) + F.col("_rn"))
         .drop("_pid", "_rn", "_off")
     )
 

@@ -120,3 +120,31 @@ def test_fast_pipeline_recall_vs_exact(spark, docs):
     assert epairs, "expected some exact clusters"
     recall = len(epairs & gpairs) / len(epairs)
     assert recall >= 0.99, recall
+
+
+def test_encode_doc_int64_sorted_with_high_bit_codes():
+    # ADVICE r2: ngram_size=8 + non-ASCII bytes pack codes >= 2^63, which
+    # wrap negative in int64; the searchsorted kernels need int64 order, so
+    # _encode_doc must re-sort (counts staying aligned) when that happens
+    from string_grouper_spark.plans.fast_dedup import _encode_doc
+
+    cfg = MatchConfig(ngram_size=8, normalize_to_ascii=False)
+    text = "ÿÿÿÿÿÿÿÿ abcdefghij ÿaÿbÿcÿd klmnopqrst"
+    codes, tfs = _encode_doc(text, cfg)
+    assert codes.dtype == np.int64
+    # direct comparison, not np.diff — gaps spanning the sign boundary
+    # overflow int64 subtraction
+    assert (codes[1:] > codes[:-1]).all(), codes
+    assert len(codes) == len(tfs)
+    # counts must follow their codes through the re-sort: recompute naively
+    from string_grouper_spark.functions.normalize import py_normalize
+
+    b = py_normalize(text, cfg).encode("utf-8")
+    grams = [b[i : i + 8] for i in range(len(b) - 7)]
+    import collections
+
+    expect = collections.Counter(
+        int.from_bytes(g, "big") - ((1 << 64) if g[0] >= 0x80 else 0) for g in grams
+    )
+    got = dict(zip(codes.tolist(), tfs.tolist()))
+    assert got == dict(expect)

@@ -117,27 +117,69 @@ def cosine_topk_blocked(
     interpreted ``aggregate`` lambdas) this is the vectorized form: one C
     matmul per block instead of n*m interpreted array folds.
 
-    For corpora where queries exceed ``max_query_rows``, chunk the query set
-    and union the results (each chunk is an independent map-only job).
+    Query sides larger than ``max_query_rows`` are CHUNKED automatically:
+    queries are split into ceil(n/max) hash-disjoint chunks
+    (pmod(xxhash64(id))), each chunk runs as an independent bounded
+    broadcast + map-only matmul job, and the per-chunk results are unioned
+    (each query lives in exactly one chunk, so the top-k windows never
+    interact).  Total compute stays O(n_items * n_queries) — the chunking
+    bounds DRIVER/broadcast memory, which is what capped the self-search.
     """
     spark = items.sparkSession
     self_search = queries is None
     qs = queries if queries is not None else items
-    qpdf = (
-        with_unit_vectors(qs.select(F.col(id_col).alias("_id"), vec_col), vec_col)
-        .select("_id", "unit")
-        .limit(max_query_rows + 1)
-        .toPandas()
-    )
-    if len(qpdf) > max_query_rows:
-        raise ValueError(
-            f"query side exceeds max_query_rows={max_query_rows}; chunk the "
-            "queries and union per-chunk results"
+    kk = int(k)
+    qunit = with_unit_vectors(
+        qs.select(F.col(id_col).alias("_id"), vec_col), vec_col
+    ).select("_id", "unit")
+
+    n_q = qs.count()
+    if n_q > max_query_rows:
+        # hash-disjoint chunks: sizes are binomial around n/chunks, so the
+        # per-chunk collect stays near max_query_rows without a global sort
+        n_chunks = int(np.ceil(n_q / max_query_rows))
+        qunit = qunit.withColumn(
+            "_chunk", F.pmod(F.xxhash64("_id"), F.lit(n_chunks)).cast("int")
         )
+        parts = [
+            _blocked_topk_one_chunk(
+                items, qunit.where(F.col("_chunk") == c).drop("_chunk"),
+                kk, id_col, vec_col, self_search,
+            )
+            for c in range(n_chunks)
+        ]
+        local = parts[0]
+        for p in parts[1:]:
+            local = local.unionAll(p)
+    else:
+        local = _blocked_topk_one_chunk(
+            items, qunit, kk, id_col, vec_col, self_search
+        )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("item_id").asc())
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= kk)
+        .drop("_rn")
+    )
+
+
+def _blocked_topk_one_chunk(
+    items: DataFrame,
+    qunit: DataFrame,
+    kk: int,
+    id_col: str,
+    vec_col: str,
+    self_search: bool,
+) -> DataFrame:
+    """One bounded query chunk: collect + broadcast the (_id, unit) frame,
+    emit each item partition's local top-k per query via one BLAS matmul."""
+    spark = items.sparkSession
+    qpdf = qunit.toPandas()
+    if not len(qpdf):
+        return spark.createDataFrame([], _TOPK_SCHEMA)
     qids = qpdf["_id"].to_numpy(dtype=np.int64)
     qmat = np.stack(qpdf["unit"].to_numpy()).astype(np.float64)
     bc = spark.sparkContext.broadcast((qids, qmat))
-    kk = int(k)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         q_ids, qm = bc.value
@@ -166,13 +208,7 @@ def cosine_topk_blocked(
                 }
             )
 
-    local = items.select(id_col, vec_col).mapInPandas(run, _TOPK_SCHEMA)
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("item_id").asc())
-    return (
-        local.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= kk)
-        .drop("_rn")
-    )
+    return items.select(id_col, vec_col).mapInPandas(run, _TOPK_SCHEMA)
 
 
 def _hyperplanes(dim: int, num_planes: int, seed: int = 0x9E3D) -> np.ndarray:

@@ -103,6 +103,16 @@ def test_blocked_topk_equals_bruteforce(spark, embeddings):
     # values agree to fp noise
     merged = brute.merge(blocked, on=["query_id", "item_id"], suffixes=("_b", "_g"))
     assert (merged["cos_b"] - merged["cos_g"]).abs().max() < 1e-9
+    # past the chunk boundary: the self-search must CHUNK the query side
+    # (hash-disjoint bounded collects) instead of raising, with identical
+    # results — VERDICT r2 #5
+    chunked = ann.cosine_topk_blocked(
+        embeddings.repartition(7), k=k, max_query_rows=200
+    ).toPandas()
+    c = set(zip(chunked.query_id, chunked.item_id))
+    assert c == b
+    mc = brute.merge(chunked, on=["query_id", "item_id"], suffixes=("_b", "_g"))
+    assert (mc["cos_b"] - mc["cos_g"]).abs().max() < 1e-9
 
 
 def test_ivf_topk_recall_on_clustered_vectors(spark):

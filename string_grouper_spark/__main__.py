@@ -59,6 +59,19 @@ def _build_parser() -> argparse.ArgumentParser:
     de.add_argument("--checkpoint-root", default=None,
                     help="resume-able stage tables under this root")
 
+    di = sub.add_parser(
+        "dedup-incremental",
+        help="match a NEW batch (--input) against an EXISTING corpus "
+        "(--corpus) via the shuffle-minimal bipartite LSH plan; output "
+        "(master_side=corpus id, dupe_side=new id, similarity)",
+    )
+    common(di)
+    di.add_argument("--corpus", required=True, help="existing-corpus parquet path")
+    di.add_argument("--num-perm", type=int, default=128)
+    di.add_argument("--num-bands", type=int, default=16)
+    di.add_argument("--shingle", choices=["char", "word"], default="char")
+    di.add_argument("--max-bucket-size", type=int, default=1000)
+
     pr = sub.add_parser("pairs", help="exact TF-IDF cosine near-dup pairs")
     common(pr)
 
@@ -130,6 +143,19 @@ def main(argv: Optional[list] = None) -> int:
             out = near_duplicate_clusters(
                 df, cfg, text_col=args.text_col, id_col=args.id_col
             )
+    elif args.command == "dedup-incremental":
+        from .plans.fast_dedup import fast_lsh_dedup_bipartite
+
+        cfg = MatchConfig(min_similarity=args.min_similarity, max_n_matches=1_000_000)
+        corpus = spark.read.parquet(args.corpus)
+        stats = {}
+        out = fast_lsh_dedup_bipartite(
+            corpus, df, cfg,
+            num_perm=args.num_perm, num_bands=args.num_bands,
+            max_bucket_size=args.max_bucket_size, shingle=args.shingle,
+            text_col=args.text_col, id_col=args.id_col, drop_stats=stats,
+        )
+        print(json.dumps({"skew_policy": stats}), file=sys.stderr)
     elif args.command == "pairs":
         from .operators.dedup import near_duplicate_pairs
 

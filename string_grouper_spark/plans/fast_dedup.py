@@ -235,17 +235,22 @@ def doc_vectors(
     terms: Optional[DataFrame] = None,
     shingle: str = "char",
     shingle_words: int = 5,
+    idf_bc=None,
 ) -> DataFrame:
     """Narrow pass 2: (doc_id, codes, ws, bands) — packed L2-normalized
     TF-IDF vector + MinHash band keys per doc, computed map-side against the
-    broadcast IDF table.  Band keys hash the ``scodes`` shingle set."""
+    broadcast IDF table.  Band keys hash the ``scodes`` shingle set.
+    ``idf_bc``: a precomputed `_collect_idf` broadcast — the bipartite plan
+    passes ONE corpus-spanning IDF so both sides weigh grams identically
+    (reference semantics: one vocabulary over master+duplicates)."""
     spark = docs.sparkSession
     if n_docs is None:
         n_docs = docs.count()
     terms = terms if terms is not None else doc_term_arrays(
         docs, cfg, text_col, id_col, shingle, shingle_words
     )
-    idf_bc = _collect_idf(spark, terms, n_docs)
+    if idf_bc is None:
+        idf_bc = _collect_idf(spark, terms, n_docs)
     perms = _perm_params(num_perm)
     mixers = _band_mixers(num_bands)
     r = num_perm // num_bands
@@ -397,3 +402,121 @@ def fast_lsh_dedup(
     finally:
         terms.unpersist()
         vecs.unpersist()
+
+
+def fast_lsh_dedup_bipartite(
+    master: DataFrame,
+    duplicates: DataFrame,
+    cfg: Optional[MatchConfig] = None,
+    num_perm: int = 128,
+    num_bands: int = 16,
+    max_bucket_size: Optional[int] = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_master: Optional[int] = None,
+    n_duplicates: Optional[int] = None,
+    shingle: str = "char",
+    shingle_words: int = 5,
+    drop_stats: Optional[dict] = None,
+) -> DataFrame:
+    """Shuffle-minimal INCREMENTAL dedup: match a NEW batch (``duplicates``)
+    against an EXISTING corpus (``master``) without the all-pairs join.
+
+    Same physical plan as ``fast_lsh_dedup`` — two narrow vectorize passes
+    per side, one bounded-vocab IDF collect, a bucket equi-join, packed
+    exact re-score — generalized to two corpora:
+
+      * ONE IDF spans both sides (reference semantics: a single
+        vocabulary/document-frequency table over master+duplicates,
+        string_grouper.py:699-707), so scores equal the exact two-series
+        path's to fp noise;
+      * both sides band with the same seeded permutations, so a cross-
+        corpus pair collides exactly as it would in a self-join;
+      * each side's bucket membership is capped at ``max_bucket_size``
+        independently (a bucket contributes |m|x|d| join rows).
+
+    Returns (master_side, dupe_side, similarity) with
+    sim >= cfg.min_similarity — the candidate-generated sibling of
+    ``operators.candidates.rescored_pairs_bipartite``.
+    """
+    import logging
+
+    cfg = cfg or MatchConfig()
+    spark = master.sparkSession
+    if n_master is None:
+        n_master = master.count()
+    if n_duplicates is None:
+        n_duplicates = duplicates.count()
+
+    terms_m = doc_term_arrays(master, cfg, text_col, id_col, shingle, shingle_words).persist()
+    terms_d = doc_term_arrays(duplicates, cfg, text_col, id_col, shingle, shingle_words).persist()
+    try:
+        # corpus-wide IDF: document frequencies over BOTH term tables
+        idf_bc = _collect_idf(
+            spark, terms_m.unionAll(terms_d), n_master + n_duplicates
+        )
+        vecs_m = doc_vectors(
+            master, cfg, num_perm, num_bands, text_col, id_col,
+            n_master + n_duplicates, terms=terms_m, shingle=shingle,
+            shingle_words=shingle_words, idf_bc=idf_bc,
+        ).persist()
+        vecs_d = doc_vectors(
+            duplicates, cfg, num_perm, num_bands, text_col, id_col,
+            n_master + n_duplicates, terms=terms_d, shingle=shingle,
+            shingle_words=shingle_words, idf_bc=idf_bc,
+        ).persist()
+
+        def buckets_of(vecs: DataFrame) -> DataFrame:
+            b = vecs.where(F.col("bands").isNotNull()).select(
+                "doc_id", F.posexplode("bands").alias("band", "key")
+            )
+            if max_bucket_size is None:
+                return b
+            grouped = b.groupBy("band", "key").agg(
+                F.collect_list("doc_id").alias("_ds")
+            )
+            return grouped.where(F.size("_ds") <= max_bucket_size).select(
+                "band", "key", F.explode("_ds").alias("doc_id")
+            )
+
+        bm, bd = buckets_of(vecs_m), buckets_of(vecs_d)
+        if drop_stats is not None:
+            from ..operators.candidates import bucket_drop_stats
+
+            raw_m = vecs_m.where(F.col("bands").isNotNull()).select(
+                "doc_id", F.posexplode("bands").alias("band", "key")
+            )
+            raw_d = vecs_d.where(F.col("bands").isNotNull()).select(
+                "doc_id", F.posexplode("bands").alias("band", "key")
+            )
+            drop_stats["master"] = bucket_drop_stats(raw_m, max_bucket_size)
+            drop_stats["duplicates"] = bucket_drop_stats(raw_d, max_bucket_size)
+            if drop_stats["master"]["n_buckets_dropped"] or drop_stats[
+                "duplicates"
+            ]["n_buckets_dropped"]:
+                logging.getLogger("string_grouper_spark.skew").warning(
+                    "bipartite lsh bucket drops: %s", drop_stats
+                )
+        cand = (
+            bm.select("band", "key", F.col("doc_id").alias(LEFT))
+            .join(bd.select("band", "key", F.col("doc_id").alias(RIGHT)), ["band", "key"])
+            .select(LEFT, RIGHT)
+            .dropDuplicates([LEFT, RIGHT])
+        )
+        pl = vecs_m.select(F.col("doc_id").alias(LEFT), F.col("codes").alias("_g1"), F.col("ws").alias("_w1"))
+        pr = vecs_d.select(F.col("doc_id").alias(RIGHT), F.col("codes").alias("_g2"), F.col("ws").alias("_w2"))
+        out = (
+            cand.join(pl, LEFT)
+            .join(pr, RIGHT)
+            .select(LEFT, RIGHT, _sparse_dot("_g1", "_w1", "_g2", "_w2").alias(SIM))
+            .where(F.col(SIM) >= float(cfg.min_similarity))
+        )
+        # materialization fence: downstream actions must not re-run the
+        # narrow passes after the persisted inputs are released
+        out = out.localCheckpoint(eager=True)
+        vecs_m.unpersist()
+        vecs_d.unpersist()
+        return out
+    finally:
+        terms_m.unpersist()
+        terms_d.unpersist()

@@ -98,3 +98,35 @@ def test_cli_dedup_exact_centroid_contract(spark, tmp_path):
     assert set(got.columns) == {"doc_id", "group_rep"}
     g = got.set_index("doc_id")["group_rep"]
     assert g.loc[0] == g.loc[1]
+
+
+def test_cli_dedup_incremental(spark, tmp_path):
+    corpus = pd.DataFrame(
+        {
+            "doc_id": range(3),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "completely different text about spark shuffles",
+                "a third topic entirely concerning minhash bands",
+            ],
+        }
+    )
+    batch = pd.DataFrame(
+        {
+            "doc_id": [100, 101],
+            "text": [
+                "the quick brown fox jumps over the lazy dog!",
+                "nothing like anything in the corpus at all here",
+            ],
+        }
+    )
+    cs, bs = f"{tmp_path}/corpus", f"{tmp_path}/batch"
+    spark.createDataFrame(corpus).write.parquet(cs)
+    spark.createDataFrame(batch).write.parquet(bs)
+    out = f"{tmp_path}/matches"
+    assert main(["dedup-incremental", "--input", bs, "--corpus", cs,
+                 "--output", out, "--min-similarity", "0.8",
+                 "--num-bands", "32"]) == 0
+    got = spark.read.parquet(out).toPandas()
+    assert set(got.columns) == {"master_side", "dupe_side", "similarity"}
+    assert set(zip(got.master_side, got.dupe_side)) == {(0, 100)}

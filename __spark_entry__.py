@@ -86,6 +86,38 @@ def q_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "component")
 
 
+def q_incremental_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (bipartite flagship): NEW batch (doc_id >= 250)
+    matched against the EXISTING corpus (doc_id < 250) via
+    fast_lsh_dedup_bipartite at recall-1 banding (r=2/b=64, no bucket cap),
+    exact TF-IDF scores over ONE corpus-spanning vocabulary — checked
+    against the all-pairs two-series SQL closure."""
+    from string_grouper_spark.plans.fast_dedup import fast_lsh_dedup_bipartite
+
+    docs = _docs(spark, sf_dir)
+    master = docs.where(F.col("doc_id") < 250)
+    dupes = docs.where(F.col("doc_id") >= 250)
+    out = fast_lsh_dedup_bipartite(
+        master, dupes, _cfg(0.5), num_perm=128, num_bands=64, max_bucket_size=None
+    )
+    return out.select(
+        F.col(LEFT).alias("left_id"),
+        F.col(RIGHT).alias("right_id"),
+        F.round(SIM, R).alias("sim_r"),
+    )
+
+
+def q_ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN SCALE path, oracle-gated: blocked-matmul exact top-3 for
+    vec_id < 100 (same oracle as the per-pair brute force — the blocked
+    plan is exact by construction, so both must hash-match the SQL)."""
+    from string_grouper_spark.operators.ann import cosine_topk_blocked
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_topk_blocked(emb, emb.where(F.col("vec_id") < 100), k=3)
+    return out.select("query_id", "item_id", F.round("cos", 4).alias("cos_r"))
+
+
 def q_most_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/D2: per-duplicate argmax join (masters: doc_id<250, dupes: >=250).
 
@@ -276,6 +308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components": q_components,
         "groups_centroid": q_groups_centroid,
         "lsh_dedup": q_lsh_dedup,
+        "incremental_match": q_incremental_match,
+        "ann_topk_blocked": q_ann_topk_blocked,
         "most_similar": q_most_similar,
         "pairwise": q_pairwise,
         "exact_dedup": q_exact_dedup,
@@ -357,6 +391,15 @@ _ORACLES["components"] = (
 # The flagship LSH pipeline must reproduce the exact all-pairs closure —
 # same oracle as `components` (candidate recall 1.0 at the chosen banding).
 _ORACLES["lsh_dedup"] = _ORACLES["components"]
+
+# The bipartite flagship must reproduce the exact two-series join: same
+# TF-IDF prelude restricted to master(<250) x new-batch(>=250) pairs.
+_ORACLES["incremental_match"] = (
+    _TFIDF_PRELUDE.replace(
+        "AND a.doc_id < b.doc_id", "AND a.doc_id < 250 AND b.doc_id >= 250"
+    )
+    + "SELECT l AS left_id, r AS right_id, round(s, 6) AS sim_r FROM simpairs"
+)
 
 _ORACLES["groups_centroid"] = (
     _TFIDF_PRELUDE
@@ -576,7 +619,7 @@ FROM embeddings e LEFT JOIN closure c ON c.src = e.vec_id
 GROUP BY e.vec_id
 """
 
-_ORACLES["ann_topk"] = r"""
+_ANN_TOPK_SQL = r"""
 WITH scored AS (
   SELECT q.vec_id AS query_id, i.vec_id AS item_id,
          list_cosine_similarity(q.embedding::DOUBLE[], i.embedding::DOUBLE[]) AS cos,
@@ -589,6 +632,10 @@ WITH scored AS (
 )
 SELECT query_id, item_id, round(cos, 4) AS cos_r FROM scored WHERE rn <= 3
 """
+
+_ORACLES["ann_topk"] = _ANN_TOPK_SQL
+# the blocked-matmul SCALE path is exact by construction — same oracle
+_ORACLES["ann_topk_blocked"] = _ANN_TOPK_SQL
 
 
 def oracle_sql() -> dict[str, str]:

@@ -475,6 +475,16 @@ def simhash_expr(gh_col, tf_col):
     return F.shiftleft(half(32), 32).bitwiseOR(half(0))
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (uint64 -> uint64): turns the fast
+    plan's byte-pack gram codes (only 8*ngram_size low bits populated) into
+    uniformly-distributed 64-bit hashes, as SimHash's bit votes require."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def simhash_signatures(
     docs: DataFrame,
     cfg: MatchConfig,
@@ -484,12 +494,52 @@ def simhash_signatures(
 ) -> DataFrame:
     """(doc_id, simhash): tf-weighted 64-bit signatures.
 
-    Two bit-identical engines (asserted in tests): ``'numpy'`` is the
-    Arrow-vectorized kernel, ``'expr'`` the pure-Catalyst form Structured
-    Streaming projections require.  Measured at sf0.1 they tie (~2.0 s both
-    — the tokens groupBy dominates, not the bit math), so the choice is
-    about deployment context, not speed.
+    Three engines:
+      * ``'numpy'`` / ``'expr'`` — BIT-IDENTICAL to each other (asserted in
+        tests) over xxhash64 gram hashes; 'expr' is the pure-Catalyst form
+        Structured Streaming projections require.  Both pay two wide stages
+        (explode + tf groupBy + collect_list) before the bit math.
+      * ``'fast'`` — ONE narrow mapInPandas pass, NO shuffle: byte-pack
+        gram codes (plans.fast_dedup._encode_doc) splitmix64-mixed to
+        uniform 64-bit hashes, votes in the same numpy kernel.  Different
+        gram hash => different (equally valid) signature values; the
+        Hamming-ball join semantics are unchanged.  This is the scale
+        shape: per-doc work with map-side everything.
     """
+    if engine == "fast":
+        from pyspark.sql.types import StructField, StructType
+
+        from ..plans.fast_dedup import _encode_doc
+
+        schema = StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("simhash", LongType(), False),
+            ]
+        )
+        bit_idx = np.arange(64, dtype=np.uint64)
+
+        def run(batches):
+            with np.errstate(over="ignore"):
+                for pdf in batches:
+                    out = np.zeros(len(pdf), dtype=np.int64)
+                    for i, t in enumerate(pdf[text_col]):
+                        codes, tfs = _encode_doc(t, cfg)
+                        if codes is None or len(codes) == 0:
+                            continue
+                        hv = _splitmix64(
+                            codes.astype(np.int64).astype(np.uint64)
+                        )
+                        w = tfs.astype(np.float64)
+                        bits = (
+                            (hv[:, None] >> bit_idx[None, :]) & np.uint64(1)
+                        ).astype(np.float64)
+                        acc = (w[:, None] * (2.0 * bits - 1.0)).sum(axis=0)
+                        sig = _BIT_VALUES[acc > 0].sum(dtype=np.uint64)
+                        out[i] = sig.astype(np.int64)
+                    yield pd.DataFrame({"doc_id": pdf[id_col], "simhash": out})
+
+        return docs.select(id_col, text_col).mapInPandas(run, schema)
     tokens = tokenize(docs, cfg, text_col=text_col, id_col=id_col)
     tf = tokens.groupBy(DOC, GRAM).agg(F.count(F.lit(1)).alias("tf"))
     per_doc = tf.select(DOC, F.xxhash64(GRAM).alias("gh"), "tf").groupBy(DOC).agg(
@@ -510,18 +560,21 @@ def simhash_candidates(
     max_bucket_size: Optional[int] = 1000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    engine: str = "numpy",
 ) -> DataFrame:
     """SimHash Hamming-ball candidates (master_side < dupe_side).
 
     Pigeonhole: any pair within Hamming distance <= num_blocks-1 shares at
     least one of the num_blocks 16-bit blocks, so the block-equality join is
     EXHAUSTIVE for max_hamming <= num_blocks-1; the bit_count filter then
-    enforces the exact ball radius JVM-side.
+    enforces the exact ball radius JVM-side.  ``engine`` selects the
+    signature kernel (see ``simhash_signatures``; 'fast' = one narrow pass,
+    no shuffle before the block join).
     """
     assert 64 % num_blocks == 0
     width = 64 // num_blocks
     mask = (1 << width) - 1
-    sigs = simhash_signatures(docs, cfg, text_col, id_col)
+    sigs = simhash_signatures(docs, cfg, text_col, id_col, engine=engine)
     blocks = sigs.select(
         DOC,
         "simhash",

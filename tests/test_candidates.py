@@ -290,9 +290,11 @@ def test_fast_dedup_auto_policy_is_output_invariant(spark):
     cfg = MatchConfig(min_similarity=0.8, max_n_matches=1_000_000)
     auto = fast_lsh_dedup(docs, cfg, max_bucket_size=None).toPandas()
     plain = fast_lsh_dedup(docs, cfg, max_bucket_size=None, salt_above=None).toPandas()
-    a = auto.sort_values("doc_id").reset_index(drop=True)
-    p = plain.sort_values("doc_id").reset_index(drop=True)
-    pd.testing.assert_frame_equal(a, p)
+    salted = fast_lsh_dedup(docs, cfg, max_bucket_size=None, salt_above=10).toPandas()
+    c = lambda d: d.sort_values("doc_id").reset_index(drop=True)
+    a = c(auto)
+    pd.testing.assert_frame_equal(a, c(plain))
+    pd.testing.assert_frame_equal(a, c(salted))
     assert a.set_index("doc_id")["component"].loc[range(60)].nunique() == 1
 
 

@@ -709,22 +709,41 @@ def _substring_params(anchor_len: int, window_len: Optional[int], stride: Option
     return k, max(1, w)
 
 
-def _window_hashes(norm_col, k: int):
-    """array<long>: xxhash64 of every length-k char window of ``norm_col``."""
-    return F.transform(
-        F.sequence(F.lit(1), F.length(norm_col) - (k - 1)),
-        lambda i: F.xxhash64(F.substring(norm_col, i, k)),
-    )
+def _roll_hash_windows(norm: str, k: int) -> Optional[np.ndarray]:
+    """int64 hashes of every length-k BYTE window of ``norm`` (UTF-8),
+    fully vectorized: polynomial hash over uint64 (natural mod-2^64 wrap),
+    splitmix64-finalized so sliding minima are uniform.
+
+    Byte windows (not char windows) keep the winnowing guarantee: a char-
+    level containment is a byte-level containment in UTF-8, so inner's
+    windows still appear verbatim in outer at shifted BYTE positions.
+    """
+    b = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8)
+    if len(b) < k:
+        return None
+    windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    powers = np.empty(k, dtype=np.uint64)
+    powers[0] = 1
+    for i in range(1, k):
+        powers[i] = powers[i - 1] * np.uint64(0x100000001B3)  # FNV prime
+    h = (windows * powers[::-1][None, :]).sum(axis=1, dtype=np.uint64)
+    return _splitmix64(h).astype(np.int64)
 
 
-def make_winnow_udf(w: int):
-    """pandas UDF: array<long> window hashes -> struct(anchors, stripes).
+def make_winnow_udf(k: int, w: int):
+    """pandas UDF: normalized text -> struct(anchors, stripes).
 
     anchors = distinct sliding-window minima (winnowing fingerprints),
-    stripes = minima of aligned non-overlapping stripes of width ``w``.
-    Computed in ONE numpy pass per doc (``sliding_window_view(...).min``):
-    the Catalyst formulation (``transform(sequence, i -> array_min(slice))``)
-    allocates one array per window position — measured 60x slower at sf0.1.
+    stripes = minima of aligned non-overlapping stripes of width ``w`` —
+    over the length-``k`` window hashes of the text.
+
+    ONE numpy pass per doc for BOTH the window hashes (vectorized rolling
+    polynomial hash) and the minima.  Two prior formulations were measured
+    and rejected: Catalyst ``transform(sequence, i -> array_min(slice))``
+    for the minima (one allocation per window position, 60x slower) and
+    Catalyst ``transform(sequence, i -> xxhash64(substring(norm,i,k)))``
+    for the hashes (interpreted HOF lambda + per-position string alloc —
+    the dominant cost of the substring query at sf0.1).
     """
     out_type = StructType(
         [
@@ -734,27 +753,28 @@ def make_winnow_udf(w: int):
     )
 
     @pandas_udf(out_type)
-    def winnow(whs: pd.Series) -> pd.DataFrame:
+    def winnow(norms: pd.Series) -> pd.DataFrame:
         anchors_col, stripes_col = [], []
-        for a in whs:
-            if a is None or len(a) == 0:
-                anchors_col.append(None)
-                stripes_col.append(None)
-                continue
-            v = np.asarray(a, dtype=np.int64)
-            n = len(v)
-            if n < w:
-                m = np.array([v.min()], dtype=np.int64)
-                anchors_col.append(m)
-                stripes_col.append(m)
-                continue
-            slid = np.lib.stride_tricks.sliding_window_view(v, w).min(axis=1)
-            anchors_col.append(np.unique(slid))
-            head = v[: (n // w) * w].reshape(-1, w).min(axis=1)
-            tail = v[(n // w) * w:]
-            stripes_col.append(
-                np.concatenate([head, [tail.min()]]) if len(tail) else head
-            )
+        with np.errstate(over="ignore"):
+            for s in norms:
+                v = None if s is None else _roll_hash_windows(s, k)
+                if v is None or len(v) == 0:
+                    anchors_col.append(None)
+                    stripes_col.append(None)
+                    continue
+                n = len(v)
+                if n < w:
+                    m = np.array([v.min()], dtype=np.int64)
+                    anchors_col.append(m)
+                    stripes_col.append(m)
+                    continue
+                slid = np.lib.stride_tricks.sliding_window_view(v, w).min(axis=1)
+                anchors_col.append(np.unique(slid))
+                head = v[: (n // w) * w].reshape(-1, w).min(axis=1)
+                tail = v[(n // w) * w:]
+                stripes_col.append(
+                    np.concatenate([head, [tail.min()]]) if len(tail) else head
+                )
         return pd.DataFrame({"anchors": anchors_col, "stripes": stripes_col})
 
     return winnow
@@ -801,11 +821,11 @@ def substring_containment(
         normalize_expr(F.col(text_col), cfg).alias("norm"),
     ).persist()
     long_enough = norm.where(F.length("norm") >= anchor_len)
-    winnow = make_winnow_udf(w)
-    # one narrow pass: window hashes (JVM xxhash64) -> numpy winnowing
-    fps = long_enough.select(
-        DOC, "norm", winnow(_window_hashes(F.col("norm"), k)).alias("fp")
-    )
+    winnow = make_winnow_udf(k, w)
+    # one narrow Arrow pass: rolling window hashes + winnowing minima, all
+    # numpy (length threshold is on CHARS; byte windows only grow the
+    # window count, so the guaranteed-hit bound is preserved)
+    fps = long_enough.select(DOC, "norm", winnow(F.col("norm")).alias("fp"))
     # anchors: winnowing fingerprints (distinct sliding minima) of inner docs
     anchors = fps.select(
         F.col(DOC).alias("inner_id"),

@@ -24,9 +24,10 @@ Numeric contract: identical tf / sklearn-idf / L2 math as functions/tfidf.py
 = raw n-gram bytes instead of xxhash64(gram) — collision-free, cheaper, and
 exactly the reference's vocabulary (string_grouper.py:699-707).
 
-Scope: ngram_size <= 8 (codes must fit a uint64) and a self-join corpus —
-the shapes the web-scale dedup rule needs.  Everything else uses the
-generic path.
+Scope: ngram_size <= 8 (codes must fit a uint64); self-join
+(``fast_lsh_dedup``) and master-vs-new-batch (``fast_lsh_dedup_bipartite``)
+corpora — the shapes the web-scale dedup rule needs.  Everything else uses
+the generic path.
 """
 
 from __future__ import annotations

@@ -82,3 +82,18 @@ def test_fast_plan_invariant_to_partitioning(spark, docs):
         labels = fast_lsh_dedup(d, cfg, num_bands=16, n_docs=500).toPandas()
         outs.append(labels.sort_values("doc_id").reset_index(drop=True))
     pdt.assert_frame_equal(outs[0], outs[1])
+
+
+def test_bipartite_fast_plan_invariant_to_partitioning(spark, docs):
+    from string_grouper_spark.plans.fast_dedup import fast_lsh_dedup_bipartite
+
+    cfg = MatchConfig(min_similarity=0.5, max_n_matches=1_000_000)
+    outs = []
+    for m_parts, d_parts in ((1, 1), (16, 3)):
+        m = docs.where(F.col("doc_id") < 250).repartition(m_parts)
+        d = docs.where(F.col("doc_id") >= 250).repartition(d_parts)
+        pairs = fast_lsh_dedup_bipartite(
+            m, d, cfg, num_perm=128, num_bands=64, max_bucket_size=None
+        ).toPandas()
+        outs.append(canon(pairs))
+    pdt.assert_frame_equal(outs[0], outs[1])

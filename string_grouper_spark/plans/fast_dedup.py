@@ -256,21 +256,39 @@ def doc_vectors(
     mixers = _band_mixers(num_bands)
     r = num_perm // num_bands
 
+    out_dtype = np.int32 if cfg.ngram_size <= 3 else np.int64  # _code_type
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         vocab_codes, vocab_idf = idf_bc.value
+        nv = len(vocab_codes)
         for pdf in batches:
-            ws_col, bands_col = [], []
+            codes_col, ws_col, bands_col = [], [], []
             with np.errstate(over="ignore"):
                 for codes, tfs, scodes in zip(pdf["codes"], pdf["tfs"], pdf["scodes"]):
                     if codes is None or len(codes) == 0:
+                        codes_col.append(None)
                         ws_col.append(None)
                         bands_col.append(None)
                         continue
                     c = np.asarray(codes, dtype=np.int64)
                     t = np.asarray(tfs, dtype=np.float64)
                     idx = np.searchsorted(vocab_codes, c)
+                    # grams outside the fitted vocabulary are DROPPED —
+                    # sklearn transform semantics for a frozen corpus fit
+                    # (reference corpus reuse, SG:546-644).  Self-fit runs
+                    # have every code in-vocabulary: the mask is all-true
+                    # and output == input.
+                    known = (idx < nv) & (vocab_codes[np.minimum(idx, nv - 1)] == c)
+                    if not known.all():
+                        c, t, idx = c[known], t[known], idx[known]
+                    if len(c) == 0:
+                        codes_col.append(None)
+                        ws_col.append(None)
+                        bands_col.append(None)
+                        continue
                     w = t * vocab_idf[idx]
                     w /= np.sqrt((w * w).sum())
+                    codes_col.append(c.astype(out_dtype))
                     ws_col.append(w)
                     if scodes is None or len(scodes) == 0:
                         bands_col.append(None)
@@ -288,7 +306,7 @@ def doc_vectors(
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "codes": pdf["codes"],
+                    "codes": codes_col,
                     "ws": ws_col,
                     "bands": bands_col,
                 }
@@ -521,3 +539,106 @@ def fast_lsh_dedup_bipartite(
     finally:
         terms_m.unpersist()
         terms_d.unpersist()
+
+
+class PrefitLshMatcher:
+    """Corpus-FROZEN LSH matcher: fit once on an existing corpus, then
+    match arbitrary new batches against it without refitting — the
+    distributed form of the reference's corpus-reuse workflow
+    (StringGrouper fit once, ``match_strings`` repeatedly over one
+    vocabulary, string_grouper.py:546-644) and the engine behind
+    streaming incremental dedup.
+
+    Fit state (all reusable across ``match`` calls):
+      * broadcast vocabulary/IDF from the CORPUS ONLY (frozen — batch
+        grams outside the vocabulary are dropped, exactly sklearn
+        ``transform`` on a fitted vectorizer);
+      * persisted packed corpus vectors;
+      * the corpus-side bucket table.
+
+    Each ``match(batch)`` runs two narrow passes over the batch plus one
+    bucket equi-join + packed exact re-score — cost scales with the BATCH,
+    not the corpus (the corpus side is already vectorized and cached).
+
+    Scores are cosines in the frozen corpus feature space; they differ
+    from a joint master+batch refit exactly the way the reference's
+    corpus-reuse scores differ from a fresh fit.  Call ``unpersist()``
+    when done.
+    """
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        cfg: Optional[MatchConfig] = None,
+        num_perm: int = 128,
+        num_bands: int = 16,
+        max_bucket_size: Optional[int] = 1000,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        shingle: str = "char",
+        shingle_words: int = 5,
+    ):
+        self.cfg = cfg or MatchConfig()
+        self.num_perm, self.num_bands = num_perm, num_bands
+        self.max_bucket_size = max_bucket_size
+        self.text_col, self.id_col = text_col, id_col
+        self.shingle, self.shingle_words = shingle, shingle_words
+        spark = corpus.sparkSession
+        n = corpus.count()
+        terms = doc_term_arrays(
+            corpus, self.cfg, text_col, id_col, shingle, shingle_words
+        ).persist()
+        try:
+            self.idf_bc = _collect_idf(spark, terms, n)
+            self.corpus_vecs = doc_vectors(
+                corpus, self.cfg, num_perm, num_bands, text_col, id_col, n,
+                terms=terms, shingle=shingle, shingle_words=shingle_words,
+                idf_bc=self.idf_bc,
+            ).persist()
+            self.corpus_vecs.count()  # materialize while terms is cached
+        finally:
+            terms.unpersist()
+        self._corpus_buckets = self._buckets(self.corpus_vecs)
+
+    def _buckets(self, vecs: DataFrame) -> DataFrame:
+        b = vecs.where(F.col("bands").isNotNull()).select(
+            "doc_id", F.posexplode("bands").alias("band", "key")
+        )
+        if self.max_bucket_size is None:
+            return b
+        grouped = b.groupBy("band", "key").agg(F.collect_list("doc_id").alias("_ds"))
+        return grouped.where(F.size("_ds") <= self.max_bucket_size).select(
+            "band", "key", F.explode("_ds").alias("doc_id")
+        )
+
+    def match(self, batch: DataFrame) -> DataFrame:
+        """(master_side=corpus id, dupe_side=batch id, similarity) with
+        sim >= cfg.min_similarity, in the frozen corpus feature space."""
+        vecs_b = doc_vectors(
+            batch, self.cfg, self.num_perm, self.num_bands,
+            self.text_col, self.id_col, n_docs=1,  # idf frozen; n unused
+            shingle=self.shingle, shingle_words=self.shingle_words,
+            idf_bc=self.idf_bc,
+        )
+        bb = self._buckets(vecs_b)
+        cand = (
+            self._corpus_buckets.select("band", "key", F.col("doc_id").alias(LEFT))
+            .join(bb.select("band", "key", F.col("doc_id").alias(RIGHT)), ["band", "key"])
+            .select(LEFT, RIGHT)
+            .dropDuplicates([LEFT, RIGHT])
+        )
+        pl = self.corpus_vecs.select(
+            F.col("doc_id").alias(LEFT), F.col("codes").alias("_g1"), F.col("ws").alias("_w1")
+        )
+        pr = vecs_b.select(
+            F.col("doc_id").alias(RIGHT), F.col("codes").alias("_g2"), F.col("ws").alias("_w2")
+        )
+        return (
+            cand.join(pl, LEFT)
+            .join(pr, RIGHT)
+            .select(LEFT, RIGHT, _sparse_dot("_g1", "_w1", "_g2", "_w2").alias(SIM))
+            .where(F.col(SIM) >= float(self.cfg.min_similarity))
+        )
+
+    def unpersist(self) -> None:
+        self.corpus_vecs.unpersist()

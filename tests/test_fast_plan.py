@@ -181,3 +181,69 @@ def test_fast_bipartite_matches_exact_two_series_path(spark, docs):
     assert set(got_pairs) == set(want)
     for k, s in got_pairs.items():
         assert abs(s - want[k]) < 1e-9, (k, s, want[k])
+
+
+def test_prefit_matcher_frozen_vocab_semantics(spark):
+    # PrefitLshMatcher = the reference's corpus-reuse workflow: vocabulary
+    # and IDF frozen on the CORPUS; batch grams outside the vocabulary are
+    # dropped (sklearn transform semantics).  Oracle: hand-computed numpy
+    # cosines in the frozen feature space.
+    import numpy as np
+
+    from string_grouper_spark.functions.normalize import py_ngrams
+    from string_grouper_spark.plans.fast_dedup import PrefitLshMatcher
+
+    corpus_texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "completely different text about spark shuffles",
+        "a third topic entirely concerning minhash bands",
+    ]
+    batch_texts = [
+        # near-dup of corpus 0, plus grams ('!zz') unseen in the corpus
+        "the quick brown fox jumps over the lazy dog !zz!zz",
+        "unrelated content that matches nothing at all",
+    ]
+    cfg = MatchConfig(min_similarity=0.3, max_n_matches=1_000_000)
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(3), "text": corpus_texts})
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100, 101], "text": batch_texts})
+    )
+    m = PrefitLshMatcher(
+        corpus, cfg, num_perm=128, num_bands=64, max_bucket_size=None
+    )
+    got = m.match(batch).toPandas()
+    m.unpersist()
+
+    # numpy oracle in the frozen space
+    def tf(text):
+        g = py_ngrams(text, cfg)
+        u, c = np.unique(g, return_counts=True)
+        return dict(zip(u, c))
+
+    corpus_tfs = [tf(t) for t in corpus_texts]
+    vocab = sorted({g for d in corpus_tfs for g in d})
+    dfreq = {g: sum(g in d for d in corpus_tfs) for g in vocab}
+    idf = {g: np.log((1 + 3) / (1 + dfreq[g])) + 1.0 for g in vocab}
+
+    def vec(tfd):
+        v = np.array([tfd.get(g, 0) * idf[g] for g in vocab])
+        n = np.linalg.norm(v)
+        return v / n if n else v
+
+    cvecs = [vec(d) for d in corpus_tfs]
+    bvecs = [vec(tf(t)) for t in batch_texts]  # unseen grams drop out
+    want = {}
+    for ci in range(3):
+        for bi, bid in enumerate([100, 101]):
+            s = float(np.dot(cvecs[ci], bvecs[bi]))
+            if s >= 0.3:
+                want[(ci, bid)] = s
+    got_pairs = {
+        (l, r): s
+        for l, r, s in zip(got["master_side"], got["dupe_side"], got["similarity"])
+    }
+    assert set(got_pairs) == set(want), (got_pairs, want)
+    for k, s in got_pairs.items():
+        assert abs(s - want[k]) < 1e-9

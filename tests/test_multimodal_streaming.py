@@ -141,3 +141,56 @@ def test_streaming_simhash_matches_batch(spark, tmp_path):
         .sort_values("doc_id")
     )
     assert got["simhash"].tolist() == batch["simhash"].tolist()
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    # micro-batch near-dup matching against a frozen corpus: streamed
+    # result must equal a one-shot matcher.match over the same rows, and
+    # the corpus-side fit must not be recomputed per batch (it is cached
+    # on the matcher)
+    from string_grouper_spark.config import MatchConfig
+    from string_grouper_spark.plans.fast_dedup import PrefitLshMatcher
+    from string_grouper_spark.streaming.dedup_stream import (
+        streaming_incremental_dedup,
+    )
+
+    corpus = generate_pages(spark, 50, seed=19).select(
+        F.col("page_id").alias("doc_id"), "text"
+    )
+    cfg = MatchConfig(min_similarity=0.8, max_n_matches=1_000_000)
+
+    # batch 1: near-dups of corpus docs 0..9; batch 2: exact copies 10..14
+    b1 = corpus.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" !")).alias("text"),
+    )
+    b2 = corpus.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 15)).select(
+        (F.col("doc_id") + 2000).alias("doc_id"), "text"
+    )
+    src = f"{tmp_path}/batches"
+    b1.coalesce(1).write.parquet(f"{src}/b=0")
+    b2.coalesce(1).write.parquet(f"{src}/b=1")
+
+    matcher = PrefitLshMatcher(
+        corpus, cfg, num_perm=128, num_bands=32, max_bucket_size=None
+    )
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b=*")
+    )
+    q = streaming_incremental_dedup(
+        stream, matcher, f"{tmp_path}/sink", f"{tmp_path}/ckpt"
+    )
+    q.awaitTermination(180)
+    streamed = spark.read.parquet(f"{tmp_path}/sink").toPandas()
+    assert streamed["batch_id"].nunique() == 2  # two micro-batches
+
+    oneshot = matcher.match(b1.unionByName(b2)).toPandas()
+    matcher.unpersist()
+    s = set(zip(streamed.master_side, streamed.dupe_side))
+    o = set(zip(oneshot.master_side, oneshot.dupe_side))
+    assert s == o
+    # every near-dup and every exact copy found against the frozen corpus
+    assert {(i, i + 1000) for i in range(10)} <= s
+    assert {(i, i + 2000) for i in range(10, 15)} <= s

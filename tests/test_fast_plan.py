@@ -247,3 +247,56 @@ def test_prefit_matcher_frozen_vocab_semantics(spark):
     assert set(got_pairs) == set(want), (got_pairs, want)
     for k, s in got_pairs.items():
         assert abs(s - want[k]) < 1e-9
+
+
+# property test: the fast plan's byte-pack encoder must agree with the
+# reference-parity tokenizer (py_ngrams) on arbitrary webtext-ish strings,
+# for every supported ngram size and normalization mode — generalizes the
+# fixed-text goldens.  Pure Python (no Spark round-trip), derandomized.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WEBTEXT = st.text(
+    alphabet=st.sampled_from("abcXYZ0189 ,-./\t\néüÅßçñ€ﬁＡ中文かタÿ"),
+    min_size=0,
+    max_size=48,
+)
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(text=_WEBTEXT, n=st.sampled_from([2, 3, 5, 8]), ascii_fold=st.booleans())
+def test_encode_doc_matches_py_ngrams_property(text, n, ascii_fold):
+    import collections
+
+    from string_grouper_spark.functions.normalize import py_ngrams
+    from string_grouper_spark.plans.fast_dedup import _encode_doc
+
+    cfg = MatchConfig(ngram_size=n, normalize_to_ascii=ascii_fold)
+    codes, tfs = _encode_doc(text, cfg)
+    grams = py_ngrams(text, cfg)
+    # py_ngrams shingles CHARS; the encoder shingles normalized BYTES.
+    # With ascii_fold the two coincide; without it, multi-byte chars make
+    # byte windows a superset positionally, so compare against byte grams.
+    if ascii_fold:
+        want = collections.Counter(
+            int.from_bytes(g.encode("utf-8"), "big") for g in grams
+        )
+    else:
+        from string_grouper_spark.functions.normalize import py_normalize
+
+        b = py_normalize(text, cfg).encode("utf-8")
+        want = collections.Counter(
+            int.from_bytes(b[i : i + n], "big") for i in range(len(b) - n + 1)
+        ) if len(b) >= n else collections.Counter()
+    # sign-fold the expected codes exactly like the encoder's dtype cast
+    bits = 32 if n <= 3 else 64
+    want = collections.Counter(
+        {(k - (1 << bits) if k >= (1 << (bits - 1)) else k): v for k, v in want.items()}
+    )
+    if codes is None:
+        assert not want
+        return
+    got = dict(zip(codes.tolist(), tfs.tolist()))
+    assert got == dict(want)
+    # and the order contract the searchsorted kernels rely on
+    assert (codes[1:] > codes[:-1]).all()

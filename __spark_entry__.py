@@ -70,7 +70,7 @@ def q_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Config chosen so candidate recall is effectively 1.0 on this corpus:
     r=2 rows x 64 bands over char-3-gram shingles emits a pair with
-    gram-Jaccard j with probability 1-(1-j^2)^64 (>0.999 for j >= 0.30; the
+    gram-Jaccard j with probability 1-(1-j^2)^64 (>0.99 for j >= 0.30; the
     0.5-cosine near-dup pairs here sit well above that floor), no bucket cap
     (max_bucket_size=None), deterministic seeded permutations — verified
     equal to the exact all-pairs closure (the ``components`` oracle) at
@@ -100,6 +100,28 @@ def q_incremental_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = fast_lsh_dedup_bipartite(
         master, dupes, _cfg(0.5), num_perm=128, num_bands=64, max_bucket_size=None
     )
+    return out.select(
+        F.col(LEFT).alias("left_id"),
+        F.col(RIGHT).alias("right_id"),
+        F.round(SIM, R).alias("sim_r"),
+    )
+
+
+def q_frozen_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frozen matching (PrefitLshMatcher): vocabulary and IDF fitted
+    on the corpus (doc_id < 250) ONLY; the batch (doc_id >= 250) is
+    transformed in that frozen space with out-of-vocabulary grams dropped —
+    the reference's corpus-reuse semantics (SG:546-644), which the oracle
+    mirrors by computing df/N over the corpus alone and inner-joining batch
+    grams against that vocabulary."""
+    from string_grouper_spark.plans.fast_dedup import PrefitLshMatcher
+
+    docs = _docs(spark, sf_dir)
+    m = PrefitLshMatcher(
+        docs.where(F.col("doc_id") < 250), _cfg(0.5),
+        num_perm=128, num_bands=64, max_bucket_size=None,
+    )
+    out = m.match(docs.where(F.col("doc_id") >= 250))
     return out.select(
         F.col(LEFT).alias("left_id"),
         F.col(RIGHT).alias("right_id"),
@@ -309,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groups_centroid": q_groups_centroid,
         "lsh_dedup": q_lsh_dedup,
         "incremental_match": q_incremental_match,
+        "frozen_match": q_frozen_match,
         "ann_topk_blocked": q_ann_topk_blocked,
         "most_similar": q_most_similar,
         "pairwise": q_pairwise,
@@ -453,6 +476,40 @@ FROM docs d LEFT JOIN simpairs sp ON sp.l = d.doc_id
 WHERE d.doc_id < 250
 """
 )
+
+# Frozen-corpus transform: df and N over the corpus (doc_id < 250) only;
+# the inner join on dfreq drops batch grams outside the fitted vocabulary
+# (sklearn transform semantics); L2 over the KEPT grams on both sides.
+_ORACLES["frozen_match"] = r"""
+WITH docs AS (
+  SELECT doc_id, regexp_replace(lower(text), '[,-./]|\s', '', 'g') AS norm
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, substring(norm, i, 3) AS gram
+  FROM docs, LATERAL (SELECT unnest(generate_series(1, length(norm)-2)) AS i) t
+  WHERE length(norm) >= 3
+),
+tf AS (SELECT doc_id, gram, count(*)::DOUBLE AS tf FROM grams GROUP BY 1,2),
+dfreq AS (
+  SELECT gram, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM grams WHERE doc_id < 250 GROUP BY 1
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM docs WHERE doc_id < 250),
+w AS (
+  SELECT tf.doc_id, tf.gram, tf.tf * (ln((1+n.n)/(1+dfreq.df))+1) AS w
+  FROM tf JOIN dfreq USING (gram) CROSS JOIN n
+),
+l2 AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY 1),
+p AS (SELECT w.doc_id, w.gram, w.w/l2.nrm AS wn FROM w JOIN l2 USING (doc_id)),
+simpairs AS (
+  SELECT a.doc_id AS l, b.doc_id AS r, sum(a.wn*b.wn) AS s
+  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < 250 AND b.doc_id >= 250
+  GROUP BY 1, 2
+  HAVING sum(a.wn*b.wn) >= 0.5
+)
+SELECT l AS left_id, r AS right_id, round(s, 6) AS sim_r FROM simpairs
+"""
 
 _ORACLES["exact_dedup"] = r"""
 SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id

@@ -619,7 +619,10 @@ class PrefitLshMatcher:
             self.text_col, self.id_col, n_docs=1,  # idf frozen; n unused
             shingle=self.shingle, shingle_words=self.shingle_words,
             idf_bc=self.idf_bc,
-        )
+        # two consumers (bucket branch + re-score join): materialize the
+        # batch's narrow passes ONCE — batch-sized, so the snapshot is
+        # bounded, and nothing lingers after the returned plan is consumed
+        ).localCheckpoint(eager=True)
         bb = self._buckets(vecs_b)
         cand = (
             self._corpus_buckets.select("band", "key", F.col("doc_id").alias(LEFT))

@@ -134,7 +134,10 @@ def lsh_bucket_stats(bands: DataFrame) -> DataFrame:
 
 
 def bucket_drop_stats(
-    buckets: DataFrame, max_bucket_size: Optional[int], id_col: str = DOC
+    buckets: DataFrame,
+    max_bucket_size: Optional[int],
+    id_col: str = DOC,
+    key_cols=("band", "key"),
 ) -> dict:
     """Recall accounting for the hot-bucket guard: what does dropping buckets
     larger than ``max_bucket_size`` cost?  Returns counts of dropped buckets,
@@ -143,7 +146,7 @@ def bucket_drop_stats(
     so bucket drops are never silent (SURVEY §4.2(2))."""
     if max_bucket_size is None:
         return {"n_buckets_dropped": 0, "n_rows_dropped": 0, "est_pairs_dropped": 0}
-    sizes = buckets.groupBy("band", "key").agg(F.count(F.lit(1)).alias("sz"))
+    sizes = buckets.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("sz"))
     row = (
         sizes.where(F.col("sz") > max_bucket_size)
         .agg(
@@ -165,6 +168,7 @@ def auto_skew_policy(
     max_bucket_size: Optional[int] = None,
     parallelism: Optional[int] = None,
     target_pairs_per_task: int = 4_000_000,
+    key_cols=("band", "key"),
 ) -> dict:
     """ONE aggregation pass over the band table picks the hot-bucket salt
     threshold from the MEASURED bucket-size histogram (SURVEY §4.2(2): "s
@@ -190,7 +194,7 @@ def auto_skew_policy(
     sz = F.col("sz")
     pairs_of = sz * (sz - 1) / 2  # double arithmetic: no ANSI long overflow
     surviving = sz <= max_bucket_size if max_bucket_size is not None else F.lit(True)
-    sizes = buckets.groupBy("band", "key").agg(F.count(F.lit(1)).alias("sz"))
+    sizes = buckets.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("sz"))
     row = sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.coalesce(F.max(F.when(surviving, sz)), F.lit(0)).alias("max_sz"),
@@ -214,22 +218,25 @@ def auto_skew_policy(
     }
 
 
-def _salted_self_pairs(buckets: DataFrame, salt_above: Optional[int]) -> DataFrame:
-    """Self-join a (band, key, <doc>, _sz) bucket table into pairs l<r.
+def _salted_self_pairs(
+    buckets: DataFrame, salt_above: Optional[int], key_cols=("band", "key")
+) -> DataFrame:
+    """Self-join a (*key_cols, <doc>, _sz) bucket table into pairs l<r.
 
     ``salt_above``: buckets larger than this are SALTED — members get
     ``nsalt = ceil(sz / salt_above)`` deterministic salt groups, the left
     side is replicated once per target salt, and the join key becomes
-    (band, key, salt).  Every pair (a,b) with a<b is still emitted exactly
+    (*key_cols, salt).  Every pair (a,b) with a<b is still emitted exactly
     once (by a's replica targeted at b's salt), but no single shuffle
     partition receives a whole megabucket — the s^2 work is spread over
     nsalt^2 tasks instead of one (SURVEY §4.2(2) hot-band salting).
     """
+    keys = list(key_cols)
     if salt_above is None:
-        l = buckets.select("band", "key", F.col(DOC).alias(LEFT))
-        r = buckets.select("band", "key", F.col(DOC).alias(RIGHT))
+        l = buckets.select(*keys, F.col(DOC).alias(LEFT))
+        r = buckets.select(*keys, F.col(DOC).alias(RIGHT))
         return (
-            l.join(r, ["band", "key"])
+            l.join(r, keys)
             .where(F.col(LEFT) < F.col(RIGHT))
             .select(LEFT, RIGHT)
         )
@@ -238,21 +245,20 @@ def _salted_self_pairs(buckets: DataFrame, salt_above: Optional[int]) -> DataFra
         "_salt", F.pmod(F.xxhash64(F.col(DOC)), F.col("_nsalt")).cast("int")
     )
     l = salted.select(
-        "band",
-        "key",
+        *keys,
         F.col(DOC).alias(LEFT),
         F.explode(F.sequence(F.lit(0), F.col("_nsalt") - 1)).alias("_salt"),
     )
-    r = salted.select("band", "key", F.col(DOC).alias(RIGHT), "_salt")
+    r = salted.select(*keys, F.col(DOC).alias(RIGHT), "_salt")
     return (
-        l.join(r, ["band", "key", "_salt"])
+        l.join(r, keys + ["_salt"])
         .where(F.col(LEFT) < F.col(RIGHT))
         .select(LEFT, RIGHT)
     )
 
 
 def _grouped_bucket_pairs(
-    buckets: DataFrame, max_bucket_size: Optional[int]
+    buckets: DataFrame, max_bucket_size: Optional[int], key_cols=("band", "key")
 ) -> DataFrame:
     """ONE-SHUFFLE bucket pairing: group members per (band, key), emit all
     in-bucket pairs map-side from the collected array.
@@ -266,7 +272,7 @@ def _grouped_bucket_pairs(
     Emits one row per (bucket, pair): callers dedupe or count collisions.
     """
     ds = F.col("_ds")
-    grouped = buckets.groupBy("band", "key").agg(F.collect_list(DOC).alias("_ds"))
+    grouped = buckets.groupBy(*key_cols).agg(F.collect_list(DOC).alias("_ds"))
     sized = grouped.where(F.size(ds) >= 2)
     if max_bucket_size is not None:
         sized = sized.where(F.size(ds) <= max_bucket_size)

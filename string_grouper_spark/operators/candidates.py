@@ -257,39 +257,58 @@ def _salted_self_pairs(
     )
 
 
+_PAIR_SCHEMA = StructType(
+    [StructField(LEFT, LongType(), False), StructField(RIGHT, LongType(), False)]
+)
+
+
+def _emit_bucket_pairs(batches):
+    """Arrow pass: collected bucket arrays -> all in-bucket pairs l<r.
+
+    Sort each bucket once and index with cached ``triu_indices`` — buckets
+    are capped (``max_bucket_size``) and typically tiny, so per-size caching
+    makes emission a pair of numpy gathers per bucket."""
+    triu_cache: dict = {}
+    for pdf in batches:
+        ls, rs = [], []
+        for arr in pdf["_ds"]:
+            a = np.sort(np.asarray(arr, dtype=np.int64))
+            t = triu_cache.get(len(a))
+            if t is None:
+                t = np.triu_indices(len(a), k=1)
+                triu_cache[len(a)] = t
+            ls.append(a[t[0]])
+            rs.append(a[t[1]])
+        if ls:
+            yield pd.DataFrame(
+                {LEFT: np.concatenate(ls), RIGHT: np.concatenate(rs)}
+            )
+
+
 def _grouped_bucket_pairs(
     buckets: DataFrame, max_bucket_size: Optional[int], key_cols=("band", "key")
 ) -> DataFrame:
     """ONE-SHUFFLE bucket pairing: group members per (band, key), emit all
-    in-bucket pairs map-side from the collected array.
+    in-bucket pairs from the collected array.
 
     The window+self-join formulation shuffles the bucket table three times
     (size window, join left, join right) — measured 54 s at 400k docs x 64
     bands (25.6M bucket rows); this groupBy ships them once and the size cap
-    becomes a free ``F.size`` filter (measured ~3x faster).  Per-bucket pair
-    generation is O(s^2) inside one task, which ``max_bucket_size`` bounds —
-    megabucket skew needs the salted join instead (``_salted_self_pairs``).
-    Emits one row per (bucket, pair): callers dedupe or count collisions.
+    becomes a free ``F.size`` filter (measured ~3x faster).  Emission runs
+    in a numpy ``mapInPandas`` pass: the Catalyst ``transform``/``slice``/
+    ``flatten`` formulation is INTERPRETED per element and measured ~1.4x
+    slower (1.5 vs 1.08 s at 120k docs, identical 1.45M pairs) despite
+    staying JVM-side.  Per-bucket pair generation is O(s^2) inside one task,
+    which ``max_bucket_size`` bounds — megabucket skew needs the salted join
+    instead (``_salted_self_pairs``).  Emits one row per (bucket, pair):
+    callers dedupe or count collisions.
     """
     ds = F.col("_ds")
     grouped = buckets.groupBy(*key_cols).agg(F.collect_list(DOC).alias("_ds"))
     sized = grouped.where(F.size(ds) >= 2)
     if max_bucket_size is not None:
         sized = sized.where(F.size(ds) <= max_bucket_size)
-    pairs = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + F.lit(2), F.greatest(F.size(ds) - i - 1, F.lit(0))),
-                lambda y: F.struct(
-                    F.least(x, y).alias("l"), F.greatest(x, y).alias("r")
-                ),
-            ),
-        )
-    )
-    return sized.select(F.explode(pairs).alias("_p")).select(
-        F.col("_p.l").alias(LEFT), F.col("_p.r").alias(RIGHT)
-    )
+    return sized.select("_ds").mapInPandas(_emit_bucket_pairs, _PAIR_SCHEMA)
 
 
 def _bucket_pairs(

@@ -46,7 +46,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import FloatType, IntegerType
 
 from ..config import MatchConfig
 from ..functions.normalize import py_normalize
@@ -73,12 +73,19 @@ def _term_schema(ngram_size: int) -> StructType:
     )
 
 
-def _vec_schema(ngram_size: int) -> StructType:
+def _vec_schema(ngram_size: int, weight_dtype: str = "float64") -> StructType:
+    # ``weight_dtype`` mirrors the reference's ``tfidf_matrix_dtype`` option
+    # (string_grouper.py:161-164,190: float32 allowed for "faster processing
+    # and a smaller memory footprint").  Unlike the generic path — which only
+    # ROUNDS through float32 for numeric parity — the fast plan actually
+    # SHIPS 4-byte floats, cutting the ws payload of the candidate re-score
+    # (the flagship's dominant shuffle) in half.
+    wt = FloatType() if weight_dtype == "float32" else DoubleType()
     return StructType(
         [
             StructField("doc_id", LongType(), False),
             StructField("codes", ArrayType(_code_type(ngram_size)), True),
-            StructField("ws", ArrayType(DoubleType()), True),
+            StructField("ws", ArrayType(wt), True),
             StructField("bands", ArrayType(LongType()), True),
         ]
     )
@@ -257,6 +264,10 @@ def doc_vectors(
     r = num_perm // num_bands
 
     out_dtype = np.int32 if cfg.ngram_size <= 3 else np.int64  # _code_type
+    # reference tfidf_matrix_dtype semantics: weights are computed in f64
+    # (identical math to the generic path) then stored at the configured
+    # precision — see _vec_schema for the shuffle-byte rationale
+    w_dtype = np.float32 if cfg.tfidf_matrix_dtype == "float32" else np.float64
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         vocab_codes, vocab_idf = idf_bc.value
@@ -289,7 +300,7 @@ def doc_vectors(
                     w = t * vocab_idf[idx]
                     w /= np.sqrt((w * w).sum())
                     codes_col.append(c.astype(out_dtype))
-                    ws_col.append(w)
+                    ws_col.append(w.astype(w_dtype, copy=False))
                     if scodes is None or len(scodes) == 0:
                         bands_col.append(None)
                         continue
@@ -312,7 +323,7 @@ def doc_vectors(
                 }
             )
 
-    return terms.mapInPandas(run, _vec_schema(cfg.ngram_size))
+    return terms.mapInPandas(run, _vec_schema(cfg.ngram_size, cfg.tfidf_matrix_dtype))
 
 
 def fast_lsh_dedup(

@@ -300,3 +300,35 @@ def test_encode_doc_matches_py_ngrams_property(text, n, ascii_fold):
     assert got == dict(want)
     # and the order contract the searchsorted kernels rely on
     assert (codes[1:] > codes[:-1]).all()
+
+
+def test_fast_pipeline_float32_weights(spark, docs):
+    """tfidf_matrix_dtype='float32' (reference option, SG:161-164,190):
+    the fast plan ships true 4-byte weights and still produces the same
+    cluster partition as the generic float32 path and the float64 run."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    from string_grouper_spark.operators.dedup import lsh_dedup_clusters
+
+    cfg32 = MatchConfig(
+        min_similarity=0.8, max_n_matches=1_000_000, tfidf_matrix_dtype="float32"
+    )
+    vecs = doc_vectors(docs.limit(20), cfg32, n_docs=20)
+    assert vecs.schema["ws"].dataType == ArrayType(FloatType())
+
+    fast32 = (
+        fast_lsh_dedup(docs, cfg32, num_bands=16, n_docs=500)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    generic32 = (
+        lsh_dedup_clusters(docs, cfg32, num_bands=16, n_docs=500)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(generic32, fast32)
+
+    cfg64 = MatchConfig(min_similarity=0.8, max_n_matches=1_000_000)
+    fast64 = (
+        fast_lsh_dedup(docs, cfg64, num_bands=16, n_docs=500)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast64, fast32)

@@ -286,7 +286,10 @@ def _emit_bucket_pairs(batches):
 
 
 def _grouped_bucket_pairs(
-    buckets: DataFrame, max_bucket_size: Optional[int], key_cols=("band", "key")
+    buckets: DataFrame,
+    max_bucket_size: Optional[int],
+    key_cols=("band", "key"),
+    prefilter_hot: bool = False,
 ) -> DataFrame:
     """ONE-SHUFFLE bucket pairing: group members per (band, key), emit all
     in-bucket pairs from the collected array.
@@ -302,11 +305,30 @@ def _grouped_bucket_pairs(
     which ``max_bucket_size`` bounds — megabucket skew needs the salted join
     instead (``_salted_self_pairs``).  Emits one row per (bucket, pair):
     callers dedupe or count collisions.
+
+    ``prefilter_hot``: the ``F.size`` cap filters AFTER ``collect_list``
+    materializes each bucket — a 10^9-member stop-gram bucket would build
+    one multi-GB aggregation buffer before being discarded.  With
+    ``prefilter_hot`` the over-cap keys (a tiny set: callers enable this
+    only when the skew policy has already counted dropped buckets) are
+    computed with a count-only partial agg and broadcast-anti-joined out of
+    the bucket table, so no task ever collects a megabucket.  Costs one
+    extra count-shuffle of the bucket table — off by default, enabled by
+    the flagship exactly when the measured histogram shows drops.
     """
     ds = F.col("_ds")
+    if prefilter_hot and max_bucket_size is not None:
+        hot = (
+            buckets.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .where(F.col("_sz") > max_bucket_size)
+            .select(*key_cols)
+        )
+        buckets = buckets.join(F.broadcast(hot), list(key_cols), "left_anti")
     grouped = buckets.groupBy(*key_cols).agg(F.collect_list(DOC).alias("_ds"))
     sized = grouped.where(F.size(ds) >= 2)
     if max_bucket_size is not None:
+        # belt-and-braces: also enforces the cap when prefilter_hot is off
         sized = sized.where(F.size(ds) <= max_bucket_size)
     return sized.select("_ds").mapInPandas(_emit_bucket_pairs, _PAIR_SCHEMA)
 

@@ -400,20 +400,27 @@ def fast_lsh_dedup(
             "doc_id", F.explode("bands").alias("key")
         )
         kc = ("key",)
+        has_drops = False
         if salt_above == "auto":
             policy = auto_skew_policy(buckets, max_bucket_size, key_cols=kc)
             salt_above = policy["salt_above"]
+            has_drops = policy["n_buckets_dropped"] > 0
             if drop_stats is not None:
                 drop_stats.update(policy)
             emit = log.warning if policy["n_buckets_dropped"] else log.info
             emit("lsh skew policy: %s", policy)
         elif drop_stats is not None:
             drop_stats.update(bucket_drop_stats(buckets, max_bucket_size, key_cols=kc))
-            if drop_stats.get("n_buckets_dropped"):
+            has_drops = drop_stats.get("n_buckets_dropped", 0) > 0
+            if has_drops:
                 log.warning("lsh bucket drops: %s", drop_stats)
         if salt_above is None:
-            # one-shuffle grouped pairing (see _grouped_bucket_pairs)
-            raw_pairs = _grouped_bucket_pairs(buckets, max_bucket_size, key_cols=kc)
+            # one-shuffle grouped pairing (see _grouped_bucket_pairs); when
+            # the measured histogram shows over-cap buckets, pre-filter them
+            # via broadcast anti-join so no task collect_lists a megabucket
+            raw_pairs = _grouped_bucket_pairs(
+                buckets, max_bucket_size, key_cols=kc, prefilter_hot=has_drops
+            )
         else:
             from pyspark.sql import Window
 

@@ -413,3 +413,50 @@ def test_simhash_fast_engine_exhaustive_and_useful(spark, docs, exact_pairs):
     # 0.5-cosine recall), and the fast engine must actually find dups
     assert rp <= exact_pairs
     assert len(rp) > 0
+
+
+def test_prefilter_hot_equals_postfilter_pairs(spark):
+    # prefilter_hot drops over-cap buckets BEFORE collect_list (so no task
+    # ever materializes a megabucket) — the emitted pair set must be
+    # identical to the F.size-after-collect filter
+    pdf = pd.DataFrame(
+        {
+            "key": [7] * 12 + [9] * 4 + [11] * 2,
+            "doc_id": list(range(12)) + [1, 5, 20, 21] + [30, 31],
+        }
+    )
+    buckets = spark.createDataFrame(pdf)
+    key = lambda d: set(zip(d[LEFT], d[RIGHT]))
+    post = cand._grouped_bucket_pairs(buckets, 5, key_cols=("key",)).toPandas()
+    pre = cand._grouped_bucket_pairs(
+        buckets, 5, key_cols=("key",), prefilter_hot=True
+    ).toPandas()
+    assert key(post) == key(pre)
+    # the size-12 bucket is gone either way; the size-4 and size-2 survive
+    assert len(key(pre)) == 6 + 1
+
+
+def test_fast_plan_megabucket_prefilter_path(spark):
+    # auto policy measures drops -> flagship takes the prefilter branch;
+    # accounting is reported and the small clusters still form
+    from string_grouper_spark.plans.fast_dedup import fast_lsh_dedup
+
+    boiler = ["copyright terms and conditions apply to all pages here"] * 60
+    family = [
+        "the unique quick brown fox document number one",
+        "the unique quick brown fox document number one!",
+        "something else entirely different from the rest",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(63), "text": boiler + family})
+    docs = spark.createDataFrame(pdf)
+    cfg = MatchConfig(min_similarity=0.8, max_n_matches=1_000_000)
+    stats = {}
+    out = fast_lsh_dedup(
+        docs, cfg, num_bands=16, max_bucket_size=10, n_docs=63,
+        drop_stats=stats,
+    ).toPandas()
+    assert stats["n_buckets_dropped"] > 0
+    comp = out.set_index("doc_id")["component"]
+    assert comp.loc[range(60)].nunique() == 60  # megabucket dropped, reported
+    assert comp.loc[60] == comp.loc[61]         # family dup still clustered
+    assert comp.loc[62] not in (comp.loc[60],)

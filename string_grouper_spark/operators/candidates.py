@@ -333,6 +333,33 @@ def _grouped_bucket_pairs(
     return sized.select("_ds").mapInPandas(_emit_bucket_pairs, _PAIR_SCHEMA)
 
 
+def capped_buckets(
+    buckets: DataFrame,
+    max_bucket_size: Optional[int],
+    key_cols=("band", "key"),
+) -> DataFrame:
+    """Enforce the bucket-size cap on a FLAT bucket table without ever
+    materializing a bucket: a count-only partial agg finds the over-cap
+    keys (a tiny set) and a broadcast anti-join removes their rows.
+
+    The grouped alternative (collect_list -> F.size filter -> explode)
+    builds each bucket in one aggregation buffer first — a stop-gram
+    megabucket becomes a multi-GB task buffer at web scale, and its
+    shuffle ships every member row where this ships one count per key per
+    map partition.  Used by the bipartite / corpus-frozen join paths,
+    whose bucket tables feed an equi-join and never need the grouped form.
+    """
+    if max_bucket_size is None:
+        return buckets
+    hot = (
+        buckets.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .where(F.col("_sz") > max_bucket_size)
+        .select(*key_cols)
+    )
+    return buckets.join(F.broadcast(hot), list(key_cols), "left_anti")
+
+
 def _bucket_pairs(
     buckets: DataFrame,
     max_bucket_size: Optional[int],
@@ -405,16 +432,14 @@ def minhash_candidates_bipartite(
     bm = minhash_bands(master, cfg, num_perm, num_bands, text_col, id_col)
     bd = minhash_bands(duplicates, cfg, num_perm, num_bands, text_col, id_col)
 
-    def capped(bands: DataFrame) -> DataFrame:
-        if max_bucket_size is None:
-            return bands
-        grouped = bands.groupBy("band", "key").agg(F.collect_list(DOC).alias("_ds"))
-        return grouped.where(F.size("_ds") <= max_bucket_size).select(
-            "band", "key", F.explode("_ds").alias(DOC)
-        )
-
-    l = capped(bm).select("band", "key", F.col(DOC).alias(LEFT))
-    r = capped(bd).select("band", "key", F.col(DOC).alias(RIGHT))
+    # cap via count-agg + broadcast anti-join — never materializes a bucket
+    # (capped_buckets); the flat table feeds the equi-join directly
+    l = capped_buckets(bm, max_bucket_size).select(
+        "band", "key", F.col(DOC).alias(LEFT)
+    )
+    r = capped_buckets(bd, max_bucket_size).select(
+        "band", "key", F.col(DOC).alias(RIGHT)
+    )
     return l.join(r, ["band", "key"]).select(LEFT, RIGHT).dropDuplicates([LEFT, RIGHT])
 
 

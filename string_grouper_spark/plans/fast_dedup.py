@@ -514,18 +514,15 @@ def fast_lsh_dedup_bipartite(
 
         def buckets_of(vecs: DataFrame) -> DataFrame:
             # key-only buckets — see fast_lsh_dedup: the key folds the band
-            # index, so the band column would be redundant shuffle bytes
+            # index, so the band column would be redundant shuffle bytes.
+            # Cap via count-agg + broadcast anti-join: never materializes a
+            # megabucket (candidates.capped_buckets).
+            from ..operators.candidates import capped_buckets
+
             b = vecs.where(F.col("bands").isNotNull()).select(
                 "doc_id", F.explode("bands").alias("key")
             )
-            if max_bucket_size is None:
-                return b
-            grouped = b.groupBy("key").agg(
-                F.collect_list("doc_id").alias("_ds")
-            )
-            return grouped.where(F.size("_ds") <= max_bucket_size).select(
-                "key", F.explode("_ds").alias("doc_id")
-            )
+            return capped_buckets(b, max_bucket_size, key_cols=("key",))
 
         bm, bd = buckets_of(vecs_m), buckets_of(vecs_d)
         if drop_stats is not None:
@@ -630,16 +627,14 @@ class PrefitLshMatcher:
         self._corpus_buckets = self._buckets(self.corpus_vecs)
 
     def _buckets(self, vecs: DataFrame) -> DataFrame:
-        # key-only buckets — see fast_lsh_dedup's derivation
+        # key-only buckets — see fast_lsh_dedup's derivation; cap without
+        # materializing buckets (candidates.capped_buckets)
+        from ..operators.candidates import capped_buckets
+
         b = vecs.where(F.col("bands").isNotNull()).select(
             "doc_id", F.explode("bands").alias("key")
         )
-        if self.max_bucket_size is None:
-            return b
-        grouped = b.groupBy("key").agg(F.collect_list("doc_id").alias("_ds"))
-        return grouped.where(F.size("_ds") <= self.max_bucket_size).select(
-            "key", F.explode("_ds").alias("doc_id")
-        )
+        return capped_buckets(b, self.max_bucket_size, key_cols=("key",))
 
     def match(self, batch: DataFrame) -> DataFrame:
         """(master_side=corpus id, dupe_side=batch id, similarity) with

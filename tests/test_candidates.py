@@ -460,3 +460,28 @@ def test_fast_plan_megabucket_prefilter_path(spark):
     assert comp.loc[range(60)].nunique() == 60  # megabucket dropped, reported
     assert comp.loc[60] == comp.loc[61]         # family dup still clustered
     assert comp.loc[62] not in (comp.loc[60],)
+
+
+def test_capped_buckets_equals_grouped_filter(spark):
+    # the anti-join cap must keep exactly the rows the grouped
+    # collect_list -> F.size filter would keep
+    pdf = pd.DataFrame(
+        {
+            "band": [0] * 12 + [1] * 4 + [0] * 2,
+            "key": [7] * 12 + [9] * 4 + [11] * 2,
+            "doc_id": list(range(12)) + [1, 5, 20, 21] + [30, 31],
+        }
+    )
+    b = spark.createDataFrame(pdf)
+    got = cand.capped_buckets(b, 5).toPandas()
+    grouped = b.groupBy("band", "key").agg(
+        F.collect_list("doc_id").alias("_ds")
+    )
+    want = (
+        grouped.where(F.size("_ds") <= 5)
+        .select("band", "key", F.explode("_ds").alias("doc_id"))
+        .toPandas()
+    )
+    key = lambda d: set(zip(d["band"], d["key"], d["doc_id"]))
+    assert key(got) == key(want)
+    assert cand.capped_buckets(b, None) is b

@@ -63,11 +63,14 @@ def _code_type(ngram_size: int):
 
 
 def _term_schema(ngram_size: int) -> StructType:
+    # tfs are per-doc term counts (bounded by doc length): int32 — the
+    # terms table is the persisted input of two passes, so its row bytes
+    # are cache footprint + Arrow transfer, not just schema cosmetics
     return StructType(
         [
             StructField("doc_id", LongType(), False),
             StructField("codes", ArrayType(_code_type(ngram_size)), True),
-            StructField("tfs", ArrayType(LongType()), True),
+            StructField("tfs", ArrayType(IntegerType()), True),
             StructField("scodes", ArrayType(LongType()), True),
         ]
     )
@@ -122,8 +125,8 @@ def _encode_doc(text: str, cfg: MatchConfig):
     # happens (n <= 7 packs at most 56 bits; n <= 3 is int32-positive).
     if n == 8 and len(out) and out[0] > out[-1]:
         order = np.argsort(out, kind="stable")
-        return out[order], counts.astype(np.int64)[order]
-    return out, counts.astype(np.int64)
+        return out[order], counts.astype(np.int32)[order]
+    return out, counts.astype(np.int32)
 
 
 def _word_shingle_codes(text: str, cfg: MatchConfig, shingle_words: int):

@@ -292,6 +292,46 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.array_min(windows).alias("fp_md5"))
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the pass a web pipeline runs BEFORE content dedup.
+
+    ``functions.urls.canonical_url`` collapses scheme-case / default-port /
+    trailing-slash / tracking-param / fragment / param-order variants (pure
+    Catalyst expressions, whole-stage codegen).  URL variants are
+    synthesized deterministically from doc_id so the oracle can build the
+    identical strings in SQL; the query returns each canonical identity
+    with its variant count and earliest doc."""
+    from string_grouper_spark.functions.urls import canonical_url
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://Example"),
+        (d % 7).cast("string"),
+        F.when(d % 5 == 0, F.lit(".com:443")).otherwise(F.lit(".com")),
+        F.lit("/page/"),
+        (d % 50).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        # query chosen by (d % 50) % 4 — a function of the page identity, so
+        # id-variants (case/port/slash/fragment/tracking) genuinely COLLAPSE:
+        # 500 docs -> 350 canonical urls (150 two-variant groups at sf0.01)
+        F.when(d % 50 % 4 == 0, F.lit("?utm_source=x&b=2&a=1"))
+        .when(d % 50 % 4 == 1, F.lit("?a=1&b=2"))
+        .when(d % 50 % 4 == 2, F.lit("?gclid=z"))
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    urls = _docs(spark, sf_dir).select(d.alias("doc_id"), url.alias("url"))
+    return (
+        urls.select("doc_id", canonical_url("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
 def q_emb_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup clustering (cos >= 0.4, 6-dp rounded),
     exact all-pairs candidates at oracle scale; component = min vec_id."""
@@ -345,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
+        "url_dedup": q_url_dedup,
         "ann_topk": q_ann_topk,
         "emb_dedup": q_emb_dedup,
     }
@@ -654,6 +695,49 @@ SELECT doc_id,
      FROM unnest(generate_series(1, length(norm.n) - 8)) AS t(i))
   ELSE md5(n) END AS fp_md5
 FROM norm
+"""
+
+_ORACLES["url_dedup"] = r"""
+WITH urls AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+         || '://Example' || CAST(doc_id % 7 AS VARCHAR)
+         || (CASE WHEN doc_id % 5 = 0 THEN '.com:443' ELSE '.com' END)
+         || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+         || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 50 % 4 = 0 THEN '?utm_source=x&b=2&a=1'
+                  WHEN doc_id % 50 % 4 = 1 THEN '?a=1&b=2'
+                  WHEN doc_id % 50 % 4 = 2 THEN '?gclid=z'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents
+), defrag AS (
+  SELECT doc_id, regexp_replace(url, '#.*$', '') AS base FROM urls
+), split AS (
+  SELECT doc_id,
+         CASE WHEN instr(base, '?') > 0 THEN split_part(base, '?', 1) ELSE base END AS pre,
+         CASE WHEN instr(base, '?') > 0 THEN substring(base, instr(base, '?') + 1) ELSE '' END AS q
+  FROM defrag
+), comps AS (
+  SELECT doc_id,
+         lower(regexp_extract(pre, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(pre, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1)) AS hostport,
+         regexp_replace(regexp_extract(pre, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(.*)$', 1), '/+$', '') AS path,
+         array_to_string(list_sort(list_filter(string_split(q, '&'),
+           p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|msclkid)='))), '&') AS q2
+  FROM split
+), canon AS (
+  SELECT doc_id,
+         scheme || '://'
+         || (CASE WHEN scheme = 'http'  AND hostport LIKE '%:80'  THEN regexp_replace(hostport, ':80$', '')
+                  WHEN scheme = 'https' AND hostport LIKE '%:443' THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END)
+         || path
+         || (CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END) AS canonical_url
+  FROM comps
+)
+SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS first_doc
+FROM canon GROUP BY canonical_url
 """
 
 _ORACLES["emb_dedup"] = r"""

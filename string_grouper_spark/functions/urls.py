@@ -1,0 +1,121 @@
+"""URL canonicalization + URL-level dedup for webtext pipelines.
+
+Web-scale dedup pipelines dedupe by CANONICAL URL before any content pass
+(the same page is crawled under scheme/case/tracking-param/fragment
+variants); the north rule's input table keys pages by ``url``.  Everything
+here is a pure Catalyst expression composition — whole-stage codegen'd,
+usable in Structured Streaming, and mirrored 1:1 in ANSI SQL by the
+``url_dedup`` driver oracle (__spark_entry__).
+
+Canonical form (deterministic, order of application matters):
+  1. strip the fragment (``#...``);
+  2. lowercase scheme and host;
+  3. drop default ports (``:80`` for http, ``:443`` for https);
+  4. strip trailing slashes from the path;
+  5. drop tracking query params (``utm_*``, ``gclid``, ``fbclid``,
+     ``msclkid``) and SORT the survivors, so param order never splits a
+     page into two identities.
+
+Scale note: canonicalization is a narrow map; the dedup itself is one
+groupBy(canonical_url) with map-side partial aggregation — the cheapest
+possible shuffle shape (no arrays, no windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TRACKING_RE = "^(utm_[^=]*|gclid|fbclid|msclkid)="
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def canonical_url(url) -> Column:
+    """Column expression: raw URL string -> canonical form (see module doc).
+
+    URLs without a ``scheme://`` prefix are passed through with only
+    fragment/query normalization (host rules need a parsed host).
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    base = F.regexp_replace(u, "#.*$", "")  # 1. fragment
+
+    qpos = F.instr(base, "?")
+    pre = F.when(qpos > 0, F.substring_index(base, "?", 1)).otherwise(base)
+    # everything after the FIRST '?' (query may itself contain '?')
+    q = F.when(qpos > 0, F.substring(base, qpos + 1, F.length(base))).otherwise(
+        F.lit("")
+    )
+
+    scheme = F.lower(F.regexp_extract(pre, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(pre, _SCHEME_RE + "([^/]*)", 2))
+    path = F.regexp_extract(pre, _SCHEME_RE + "[^/]*(.*)$", 2)
+
+    host = (
+        F.when(
+            (scheme == "http") & hostport.endswith(":80"),
+            F.regexp_replace(hostport, ":80$", ""),
+        )
+        .when(
+            (scheme == "https") & hostport.endswith(":443"),
+            F.regexp_replace(hostport, ":443$", ""),
+        )
+        .otherwise(hostport)
+    )
+    path = F.regexp_replace(path, "/+$", "")
+
+    kept = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+    )
+    q2 = F.array_join(F.array_sort(kept), "&")
+
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit("")),
+    )
+    # no scheme -> not a parseable absolute URL: normalize fragment/query only
+    fallback_q = q2
+    fallback = F.concat(
+        F.regexp_replace(pre, "/+$", ""),
+        F.when(fallback_q != "", F.concat(F.lit("?"), fallback_q)).otherwise(F.lit("")),
+    )
+    return F.when(scheme != "", canon).otherwise(fallback)
+
+
+def url_dedup(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Keep ONE row per canonical URL — the earliest crawl (``ts_col``),
+    ties broken by the raw url string for determinism.
+
+    One shuffle: groupBy(canonical) with a min_by struct aggregation
+    (map-side partial agg; no window, no sort of the full table).
+    """
+    canon = canonical_url(url_col).alias("_canon")
+    pick = F.min(F.struct(F.col(ts_col), F.col(url_col))).alias("_pick")
+    kept = (
+        pages.select(canon, F.col(ts_col), F.col(url_col))
+        .groupBy("_canon")
+        .agg(pick)
+        .select(
+            F.col("_canon").alias("canonical_url"),
+            F.col(f"_pick.{ts_col}").alias(ts_col),
+            F.col(f"_pick.{url_col}").alias(url_col),
+        )
+    )
+    return kept
+
+
+def url_duplicate_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(canonical_url, n_variants): how many raw URLs collapse into each
+    canonical identity — the observability counter for URL-level dedup."""
+    return (
+        pages.select(canonical_url(url_col).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_variants"))
+    )

@@ -1,0 +1,81 @@
+"""URL canonicalization + URL-level dedup (functions/urls.py).
+
+The driver-facing oracle (url_dedup in __spark_entry__) pins the SQL parity;
+these tests pin the canonical-form semantics themselves and the dedup
+operator's earliest-crawl-wins contract on the synthetic pages table.
+"""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from string_grouper_spark.functions.urls import (
+    canonical_url,
+    url_dedup,
+    url_duplicate_stats,
+)
+
+CASES = [
+    # (raw, canonical)
+    ("HTTPS://Example.COM:443/path/a/?utm_source=x&b=2&a=1#frag",
+     "https://example.com/path/a?a=1&b=2"),
+    ("https://example.com/path/a?a=1&b=2",
+     "https://example.com/path/a?a=1&b=2"),
+    ("http://Example.com:80/", "http://example.com"),
+    ("http://example.com", "http://example.com"),
+    ("https://example.com/p?gclid=abc", "https://example.com/p"),
+    ("https://example.com/p?fbclid=1&msclkid=2&utm_medium=m",
+     "https://example.com/p"),
+    ("https://example.com/p", "https://example.com/p"),
+    # non-default port survives; param order normalized
+    ("https://example.com:8443/x?b=2&a=1", "https://example.com:8443/x?a=1&b=2"),
+    # http :443 is NOT a default port for http — kept
+    ("http://example.com:443/x", "http://example.com:443/x"),
+    # schemeless input: only fragment/query/trailing-slash normalization
+    ("relative/path/?b=1&utm_campaign=z#x", "relative/path?b=1"),
+]
+
+
+def test_canonical_url_cases(spark):
+    df = spark.createDataFrame([(r,) for r, _ in CASES], ["url"])
+    got = [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [c for _, c in CASES]
+
+
+def test_canonical_url_is_catalyst_only(spark):
+    # pure expression composition: no Python UDF / Arrow eval in the plan
+    df = spark.createDataFrame([("https://a.com/x?b=1",)], ["url"])
+    plan = df.select(canonical_url("url"))._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_url_dedup_keeps_earliest_crawl(spark):
+    pdf = pd.DataFrame(
+        {
+            "url": [
+                "HTTPS://A.com/p/?utm_source=s",   # variant 1 (later crawl)
+                "https://a.com/p",                  # variant 2 (earliest)
+                "https://a.com/p?x=1",              # different page
+            ],
+            "warc_ts": pd.to_datetime(
+                ["2024-02-01", "2024-01-01", "2024-03-01"]
+            ),
+        }
+    )
+    out = url_dedup(spark.createDataFrame(pdf)).toPandas()
+    assert len(out) == 2
+    kept = out.set_index("canonical_url")
+    assert kept.loc["https://a.com/p", "url"] == "https://a.com/p"
+    assert str(kept.loc["https://a.com/p", "warc_ts"]).startswith("2024-01-01")
+
+    stats = url_duplicate_stats(spark.createDataFrame(pdf)).toPandas()
+    assert stats.set_index("canonical_url")["n_variants"]["https://a.com/p"] == 2
+
+
+def test_url_dedup_on_synthetic_pages(spark):
+    from string_grouper_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 200, seed=7)
+    # synthetic pages have unique urls: dedup must be the identity modulo
+    # canonicalization (no accidental key collisions)
+    out = url_dedup(pages)
+    assert out.count() == pages.select("url").distinct().count()

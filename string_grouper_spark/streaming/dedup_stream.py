@@ -55,6 +55,28 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_url_dedup(
+    stream: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """URL-level dedup over a crawl stream: first-seen row per CANONICAL
+    url survives (the pass a web pipeline runs before content dedup).
+
+    ``functions.urls.canonical_url`` is a pure Catalyst expression, so it
+    runs inside Structured Streaming with no stateful operator of its own;
+    state is the watermark-bounded canonical-url set, exactly like
+    ``streaming_exact_dedup``'s hash set."""
+    from ..functions.urls import canonical_url
+
+    return (
+        stream.withColumn("canonical_url", canonical_url(url_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+    )
+
+
 _DUPFLAG_SCHEMA = StructType(
     [
         StructField("content_hash", StringType(), False),

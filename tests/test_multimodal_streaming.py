@@ -194,3 +194,40 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     # every near-dup and every exact copy found against the frozen corpus
     assert {(i, i + 1000) for i in range(10)} <= s
     assert {(i, i + 2000) for i in range(10, 15)} <= s
+
+
+def test_streaming_url_dedup(spark, tmp_path):
+    # canonical_url is pure Catalyst -> runs inside Structured Streaming;
+    # scheme-case/tracking-param variants of the same page collapse to one
+    from string_grouper_spark.streaming.dedup_stream import streaming_url_dedup
+
+    pages = generate_pages(spark, 60, seed=13)
+    variants = (
+        pages.limit(15)
+        .withColumn(
+            "url",
+            F.concat(
+                # scheme-case variant (path case is SIGNIFICANT and kept)
+                F.regexp_replace(F.col("url"), "^https://", "HTTPS://"),
+                F.lit("?utm_source=feed#frag"),
+            ),
+        )
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 MINUTE"))
+    )
+    src = f"{tmp_path}/urlsrc"
+    pages.unionByName(variants).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(pages.schema).parquet(src)
+    q = (
+        streaming_url_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("url_dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from url_dedup_out").toPandas()
+    # 60 canonical identities; each variant collapsed onto its original
+    assert len(out) == 60
+    assert out["canonical_url"].nunique() == 60

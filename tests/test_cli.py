@@ -130,3 +130,24 @@ def test_cli_dedup_incremental(spark, tmp_path):
     got = spark.read.parquet(out).toPandas()
     assert set(got.columns) == {"master_side", "dupe_side", "similarity"}
     assert set(zip(got.master_side, got.dupe_side)) == {(0, 100)}
+
+
+def test_cli_url_dedup(spark, tmp_path):
+    from string_grouper_spark.sources.pages import generate_pages
+    from pyspark.sql import functions as F
+
+    pages = generate_pages(spark, 30, seed=21)
+    variants = (
+        pages.limit(8)
+        .withColumn("url", F.concat(F.col("url"), F.lit("?utm_source=rss#top")))
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 2 MINUTES"))
+    )
+    src = f"{tmp_path}/pages"
+    pages.unionByName(variants).write.parquet(src)
+    out = f"{tmp_path}/urldedup"
+    assert main(["url-dedup", "--input", src, "--output", out]) == 0
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) == 30  # variants collapsed onto their originals
+    assert set(got.columns) == {"canonical_url", "warc_ts", "url"}
+    # earliest crawl kept: no kept url carries the later variant's params
+    assert not got["url"].str.contains("utm_source").any()

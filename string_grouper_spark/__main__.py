@@ -51,8 +51,11 @@ def _build_parser() -> argparse.ArgumentParser:
     d.add_argument("--tfidf-dtype", choices=["float32", "float64"],
                    default="float32",
                    help="weight precision (reference tfidf_matrix_dtype); "
-                   "float32 halves the re-score shuffle, clusters measured "
-                   "identical — the production default")
+                   "float32 halves the re-score shuffle and is this JOB's "
+                   "default — the library/reference default is float64; a "
+                   "pair whose exact cosine sits within ~1e-7 of the "
+                   "threshold can flip, so pass float64 for bit-parity "
+                   "with library/reference runs")
 
     de = sub.add_parser(
         "dedup-exact",

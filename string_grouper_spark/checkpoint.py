@@ -316,29 +316,37 @@ def checkpointed_lsh_dedup_pipeline(
     fp_vecs = ck.stage_fingerprint("vectors")
 
     def build_pairs():
+        # key-only buckets + drops-aware prefilter: same pairing plan as
+        # fast_lsh_dedup (the band index is folded into the key; over-cap
+        # keys are anti-joined out BEFORE collect_list when the measured
+        # histogram shows drops — see plans/fast_dedup.py)
+        kc = ("key",)
         buckets = vecs.where(F.col("bands").isNotNull()).select(
-            "doc_id", F.posexplode("bands").alias("band", "key")
+            "doc_id", F.explode("bands").alias("key")
         )
         nonlocal salt_above
         if salt_above == "auto":
-            policy = auto_skew_policy(buckets, max_bucket_size)
+            policy = auto_skew_policy(buckets, max_bucket_size, key_cols=kc)
             salt_above = policy["salt_above"]
         else:
             policy = {"salt_above": salt_above,
-                      **bucket_drop_stats(buckets, max_bucket_size)}
+                      **bucket_drop_stats(buckets, max_bucket_size, key_cols=kc)}
         cache["policy"] = policy
         if drop_stats is not None:
             drop_stats.update(policy)
         if salt_above is None:
-            raw = _grouped_bucket_pairs(buckets, max_bucket_size)
+            raw = _grouped_bucket_pairs(
+                buckets, max_bucket_size, key_cols=kc,
+                prefilter_hot=policy.get("n_buckets_dropped", 0) > 0,
+            )
         else:
             from pyspark.sql import Window
 
-            w = Window.partitionBy("band", "key")
+            w = Window.partitionBy("key")
             sized = buckets.withColumn("_sz", F.count(F.lit(1)).over(w))
             if max_bucket_size is not None:
                 sized = sized.where(F.col("_sz") <= max_bucket_size)
-            raw = _salted_self_pairs(sized, salt_above)
+            raw = _salted_self_pairs(sized, salt_above, key_cols=kc)
         cand = raw.dropDuplicates([LEFT, RIGHT])
         pl = vecs.select(F.col("doc_id").alias(LEFT), F.col("codes").alias("_g1"), F.col("ws").alias("_w1"))
         pr = vecs.select(F.col("doc_id").alias(RIGHT), F.col("codes").alias("_g2"), F.col("ws").alias("_w2"))

@@ -90,25 +90,35 @@ def url_dedup(
     url_col: str = "url",
     ts_col: str = "warc_ts",
 ) -> DataFrame:
-    """Keep ONE row per canonical URL — the earliest crawl (``ts_col``),
-    ties broken by the raw url string for determinism.
+    """Keep ONE FULL row per canonical URL — the earliest crawl (``ts_col``),
+    ties broken by the raw url string for determinism.  Rows with a NULL
+    timestamp lose to any timestamped crawl (struct ordering alone would
+    sort the null FIRST and silently keep the wrong row).
 
-    One shuffle: groupBy(canonical) with a min_by struct aggregation
+    The whole input row is carried through (``canonical_url`` prepended),
+    so the output feeds the content-dedup pass directly — no join back.
+    One shuffle: groupBy(canonical) with a min-of-struct aggregation
     (map-side partial agg; no window, no sort of the full table).
     """
-    canon = canonical_url(url_col).alias("_canon")
-    pick = F.min(F.struct(F.col(ts_col), F.col(url_col))).alias("_pick")
-    kept = (
-        pages.select(canon, F.col(ts_col), F.col(url_col))
-        .groupBy("_canon")
-        .agg(pick)
-        .select(
-            F.col("_canon").alias("canonical_url"),
-            F.col(f"_pick.{ts_col}").alias(ts_col),
-            F.col(f"_pick.{url_col}").alias(url_col),
-        )
+    cols = pages.columns
+    # null-ts rows order AFTER every real timestamp via a far-future
+    # sentinel; the kept row still carries its original (null) value
+    ts_ord = F.coalesce(
+        F.col(ts_col), F.lit("9999-12-31 23:59:59").cast("timestamp")
     )
-    return kept
+    pick = F.min(
+        F.struct(
+            ts_ord.alias("_ord"),
+            F.col(url_col).alias("_u"),
+            F.struct(*[F.col(c) for c in cols]).alias("_row"),
+        )
+    ).alias("_pick")
+    return (
+        pages.select(canonical_url(url_col).alias("canonical_url"), "*")
+        .groupBy("canonical_url")
+        .agg(pick)
+        .select("canonical_url", *[F.col(f"_pick._row.{c}").alias(c) for c in cols])
+    )
 
 
 def url_duplicate_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:

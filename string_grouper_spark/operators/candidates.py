@@ -262,12 +262,18 @@ _PAIR_SCHEMA = StructType(
 )
 
 
+_TRIU_CACHE_MAX_SIZE = 128  # sum s^2 for s<=128 is ~11 MB of cached indices
+
+
 def _emit_bucket_pairs(batches):
     """Arrow pass: collected bucket arrays -> all in-bucket pairs l<r.
 
     Sort each bucket once and index with cached ``triu_indices`` — buckets
-    are capped (``max_bucket_size``) and typically tiny, so per-size caching
-    makes emission a pair of numpy gathers per bucket."""
+    are typically tiny, so per-size caching makes emission a pair of numpy
+    gathers per bucket.  Only sizes <= 128 are cached: an index pair for
+    size s is O(s^2) bytes, so an unbounded cache on a large-cap run would
+    retain GBs of indices for the task's lifetime; bigger buckets (rare)
+    just recompute."""
     triu_cache: dict = {}
     for pdf in batches:
         ls, rs = [], []
@@ -276,7 +282,8 @@ def _emit_bucket_pairs(batches):
             t = triu_cache.get(len(a))
             if t is None:
                 t = np.triu_indices(len(a), k=1)
-                triu_cache[len(a)] = t
+                if len(a) <= _TRIU_CACHE_MAX_SIZE:
+                    triu_cache[len(a)] = t
             ls.append(a[t[0]])
             rs.append(a[t[1]])
         if ls:
@@ -317,14 +324,10 @@ def _grouped_bucket_pairs(
     the flagship exactly when the measured histogram shows drops.
     """
     ds = F.col("_ds")
-    if prefilter_hot and max_bucket_size is not None:
-        hot = (
-            buckets.groupBy(*key_cols)
-            .agg(F.count(F.lit(1)).alias("_sz"))
-            .where(F.col("_sz") > max_bucket_size)
-            .select(*key_cols)
-        )
-        buckets = buckets.join(F.broadcast(hot), list(key_cols), "left_anti")
+    if prefilter_hot:
+        # one extra count-shuffle of the bucket table, paid only on the
+        # drops-exist path (the caller's skew policy already measured them)
+        buckets = capped_buckets(buckets, max_bucket_size, key_cols)
     grouped = buckets.groupBy(*key_cols).agg(F.collect_list(DOC).alias("_ds"))
     sized = grouped.where(F.size(ds) >= 2)
     if max_bucket_size is not None:
@@ -348,6 +351,13 @@ def capped_buckets(
     shuffle ships every member row where this ships one count per key per
     map partition.  Used by the bipartite / corpus-frozen join paths,
     whose bucket tables feed an equi-join and never need the grouped form.
+
+    The anti-join carries NO broadcast hint: the hot-key set is tiny in
+    the designed regime (a handful of stop-gram buckets), so AQE converts
+    the join to a runtime broadcast — but a pathological cap (e.g. 2 on a
+    duplicate-heavy corpus) can make MOST keys hot, and a forced
+    ``F.broadcast`` would then OOM the driver where a shuffled anti-join
+    degrades gracefully.
     """
     if max_bucket_size is None:
         return buckets
@@ -357,7 +367,7 @@ def capped_buckets(
         .where(F.col("_sz") > max_bucket_size)
         .select(*key_cols)
     )
-    return buckets.join(F.broadcast(hot), list(key_cols), "left_anti")
+    return buckets.join(hot, list(key_cols), "left_anti")
 
 
 def _bucket_pairs(

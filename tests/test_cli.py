@@ -148,6 +148,7 @@ def test_cli_url_dedup(spark, tmp_path):
     assert main(["url-dedup", "--input", src, "--output", out]) == 0
     got = spark.read.parquet(out).toPandas()
     assert len(got) == 30  # variants collapsed onto their originals
-    assert set(got.columns) == {"canonical_url", "warc_ts", "url"}
+    # full page rows survive (so the output feeds content dedup directly)
+    assert set(got.columns) == {"canonical_url"} | set(pages.columns)
     # earliest crawl kept: no kept url carries the later variant's params
     assert not got["url"].str.contains("utm_source").any()

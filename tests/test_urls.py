@@ -59,16 +59,36 @@ def test_url_dedup_keeps_earliest_crawl(spark):
             "warc_ts": pd.to_datetime(
                 ["2024-02-01", "2024-01-01", "2024-03-01"]
             ),
+            "text": ["body1", "body2", "body3"],
         }
     )
     out = url_dedup(spark.createDataFrame(pdf)).toPandas()
     assert len(out) == 2
+    # FULL row kept (feeds content dedup directly), canonical prepended
+    assert list(out.columns) == ["canonical_url", "url", "warc_ts", "text"]
     kept = out.set_index("canonical_url")
     assert kept.loc["https://a.com/p", "url"] == "https://a.com/p"
+    assert kept.loc["https://a.com/p", "text"] == "body2"
     assert str(kept.loc["https://a.com/p", "warc_ts"]).startswith("2024-01-01")
 
     stats = url_duplicate_stats(spark.createDataFrame(pdf)).toPandas()
     assert stats.set_index("canonical_url")["n_variants"]["https://a.com/p"] == 2
+
+
+def test_url_dedup_null_timestamp_loses(spark):
+    # a null-ts crawl must NOT beat a timestamped one (naive struct-min
+    # would sort the null first and keep the wrong row)
+    pdf = pd.DataFrame(
+        {
+            "url": ["https://a.com/p", "https://a.com/p/#f"],
+            "warc_ts": [pd.NaT, pd.Timestamp("2024-01-05")],
+            "text": ["null-ts variant", "dated variant"],
+        }
+    )
+    out = url_dedup(spark.createDataFrame(pdf)).toPandas()
+    assert len(out) == 1
+    assert out.loc[0, "text"] == "dated variant"
+    assert str(out.loc[0, "warc_ts"]).startswith("2024-01-05")
 
 
 def test_url_dedup_on_synthetic_pages(spark):

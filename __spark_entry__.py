@@ -262,6 +262,28 @@ def q_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_containment(_docs(spark, sf_dir), MatchConfig(), anchor_len=16)
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination check: which corpus documents contain a benchmark
+    item verbatim (post-normalization)?  Benchmark items are synthesized as
+    char slices of every 10th document, so the oracle can mirror them in
+    SQL; each item must at least hit its own source document, plus any
+    duplicate of it.  Runs the winnowing bipartite containment
+    (candidates.substring_containment_bipartite) — the corpus side carries
+    the sparse stripe index."""
+    from string_grouper_spark.operators.candidates import (
+        substring_containment_bipartite,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.substring("text", 21, 60).alias("text")
+    )
+    out = substring_containment_bipartite(bench, docs, MatchConfig(), anchor_len=16)
+    return out.select(
+        F.col("inner_id").alias("bench_id"), F.col("outer_id").alias("doc_id")
+    )
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from string_grouper_spark.functions.text_stats import language_id
 
@@ -382,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_rep_completeness": q_group_rep_completeness,
         "jaccard_pairs": q_jaccard_pairs,
         "substring": q_substring,
+        "contamination": q_contamination,
         "langid": q_langid,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
@@ -630,6 +653,21 @@ SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
 FROM docs a JOIN docs b
   ON a.doc_id != b.doc_id AND length(a.norm) >= 16
  AND position(a.norm IN b.norm) > 0
+"""
+
+_ORACLES["contamination"] = r"""
+WITH corpus AS (
+  SELECT doc_id, regexp_replace(lower(text), '[,-./]|\s', '', 'g') AS norm
+  FROM documents
+), bench AS (
+  SELECT doc_id AS bench_id,
+         regexp_replace(lower(substring(text, 21, 60)), '[,-./]|\s', '', 'g') AS bnorm
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT b.bench_id, c.doc_id
+FROM bench b JOIN corpus c
+  ON length(b.bnorm) >= 16
+ AND position(b.bnorm IN c.norm) > 0
 """
 
 _LANG_SCORE = (

@@ -932,6 +932,64 @@ def substring_containment(
     return verified.select("inner_id", "outer_id")
 
 
+def substring_containment_bipartite(
+    inner_docs: DataFrame,
+    outer_docs: DataFrame,
+    cfg: MatchConfig,
+    anchor_len: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_len: Optional[int] = None,
+    stride: Optional[int] = None,
+) -> DataFrame:
+    """All (inner_id, outer_id) where an ``inner_docs`` row's normalized
+    text occurs verbatim inside an ``outer_docs`` row's — the DECONTAMINATION
+    check of a training pipeline (does a benchmark/eval item appear in the
+    training corpus?).  EXACT: every candidate is verified with ``locate``.
+
+    Same winnowing geometry and guaranteed-hit proof as
+    ``substring_containment`` (which is the self-corpus special case), with
+    the sides split: the huge CORPUS side carries the sparse stripe index
+    (~1/stride of its bytes), the small benchmark side the sliding-window
+    minima.  Cost: one narrow Arrow pass per side + one equi-join on the
+    fingerprint hash; ids may overlap between sides and are NOT excluded
+    (the two tables are distinct corpora).
+    """
+    from ..functions.normalize import normalize_expr
+
+    k, w = _substring_params(anchor_len, window_len, stride)
+    winnow = make_winnow_udf(k, w)
+    inner_norm = inner_docs.select(
+        F.col(id_col).alias("inner_id"),
+        normalize_expr(F.col(text_col), cfg).alias("inner_norm"),
+    )
+    outer_norm = outer_docs.select(
+        F.col(id_col).alias("outer_id"),
+        normalize_expr(F.col(text_col), cfg).alias("outer_norm"),
+    ).persist()
+    anchors = (
+        inner_norm.where(F.length("inner_norm") >= anchor_len)
+        .select("inner_id", "inner_norm", winnow(F.col("inner_norm")).alias("fp"))
+        .select("inner_id", "inner_norm", F.explode("fp.anchors").alias("wh"))
+    )
+    index = (
+        # an outer shorter than anchor_len cannot contain any inner
+        outer_norm.where(F.length("outer_norm") >= anchor_len)
+        .select("outer_id", winnow(F.col("outer_norm")).alias("fp"))
+        .select("outer_id", F.explode("fp.stripes").alias("wh"))
+        .dropDuplicates(["outer_id", "wh"])
+    )
+    cand = (
+        anchors.join(index, "wh")
+        .select("inner_id", "outer_id", "inner_norm")
+        .dropDuplicates(["inner_id", "outer_id"])
+    )
+    verified = cand.join(outer_norm, "outer_id").where(
+        F.expr("locate(inner_norm, outer_norm) > 0")
+    )
+    return verified.select("inner_id", "outer_id")
+
+
 # --------------------------------------------------------------------------
 # Candidate -> exact-rescore -> pairs (the scale path's full pipeline)
 # --------------------------------------------------------------------------

@@ -485,3 +485,34 @@ def test_capped_buckets_equals_grouped_filter(spark):
     key = lambda d: set(zip(d["band"], d["key"], d["doc_id"]))
     assert key(got) == key(want)
     assert cand.capped_buckets(b, None) is b
+
+
+def test_substring_containment_bipartite_equals_bruteforce(spark, docs):
+    # decontamination shape: benchmark items are slices of every 5th doc;
+    # the winnowed bipartite join must find EXACTLY the brute-force
+    # containments (guaranteed-hit winnowing + exact locate verify)
+    from string_grouper_spark.functions.normalize import py_normalize
+
+    cfg = MatchConfig()
+    corpus = docs.limit(120)
+    bench = corpus.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.substring("text", 11, 48).alias("text")
+    )
+    got = cand.substring_containment_bipartite(
+        bench, corpus, cfg, anchor_len=16
+    ).toPandas()
+    got_set = set(zip(got["inner_id"], got["outer_id"]))
+
+    cpdf = corpus.toPandas()
+    bpdf = bench.toPandas()
+    want = set()
+    cnorm = {r.doc_id: py_normalize(r.text, cfg) for r in cpdf.itertuples()}
+    for b in bpdf.itertuples():
+        bn = py_normalize(b.text, cfg)
+        if len(bn) < 16:
+            continue
+        for did, cn in cnorm.items():
+            if bn in cn:
+                want.add((b.doc_id, did))
+    assert got_set == want
+    assert len(want) >= bpdf.shape[0] - (bpdf["text"].str.len() < 16).sum() - 5

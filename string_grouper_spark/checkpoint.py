@@ -340,13 +340,9 @@ def checkpointed_lsh_dedup_pipeline(
                 prefilter_hot=policy.get("n_buckets_dropped", 0) > 0,
             )
         else:
-            from pyspark.sql import Window
-
-            w = Window.partitionBy("key")
-            sized = buckets.withColumn("_sz", F.count(F.lit(1)).over(w))
-            if max_bucket_size is not None:
-                sized = sized.where(F.col("_sz") <= max_bucket_size)
-            raw = _salted_self_pairs(sized, salt_above, key_cols=kc)
+            raw = _salted_self_pairs(
+                buckets, salt_above, key_cols=kc, max_bucket_size=max_bucket_size
+            )
         cand = raw.dropDuplicates([LEFT, RIGHT])
         pl = vecs.select(F.col("doc_id").alias(LEFT), F.col("codes").alias("_g1"), F.col("ws").alias("_w1"))
         pr = vecs.select(F.col("doc_id").alias(RIGHT), F.col("codes").alias("_g2"), F.col("ws").alias("_w2"))

@@ -219,9 +219,12 @@ def auto_skew_policy(
 
 
 def _salted_self_pairs(
-    buckets: DataFrame, salt_above: Optional[int], key_cols=("band", "key")
+    buckets: DataFrame,
+    salt_above: Optional[int],
+    key_cols=("band", "key"),
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
-    """Self-join a (*key_cols, <doc>, _sz) bucket table into pairs l<r.
+    """Self-join a (*key_cols, <doc>) bucket table into pairs l<r.
 
     ``salt_above``: buckets larger than this are SALTED — members get
     ``nsalt = ceil(sz / salt_above)`` deterministic salt groups, the left
@@ -230,6 +233,13 @@ def _salted_self_pairs(
     once (by a's replica targeted at b's salt), but no single shuffle
     partition receives a whole megabucket — the s^2 work is spread over
     nsalt^2 tasks instead of one (SURVEY §4.2(2) hot-band salting).
+
+    Bucket sizes (for the salt count and the ``max_bucket_size`` cap) are
+    computed with a partial-agg ``groupBy().count()`` + equi-join, NOT a
+    window over the key: ``Window.partitionBy(key)`` would land every hot
+    key's rows in one task — the exact skew this function exists to
+    avoid, paid before it could help — and AQE can split a skewed join
+    but never a window.
     """
     keys = list(key_cols)
     if salt_above is None:
@@ -240,8 +250,12 @@ def _salted_self_pairs(
             .where(F.col(LEFT) < F.col(RIGHT))
             .select(LEFT, RIGHT)
         )
+    sizes = buckets.groupBy(*keys).agg(F.count(F.lit(1)).alias("_sz"))
+    if max_bucket_size is not None:
+        sizes = sizes.where(F.col("_sz") <= max_bucket_size)
+    sized = buckets.join(sizes, keys)  # inner join doubles as the cap filter
     nsalt = F.ceil(F.col("_sz") / F.lit(int(salt_above))).cast("int")
-    salted = buckets.withColumn("_nsalt", nsalt).withColumn(
+    salted = sized.withColumn("_nsalt", nsalt).withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(DOC)), F.col("_nsalt")).cast("int")
     )
     l = salted.select(
@@ -392,13 +406,9 @@ def _bucket_pairs(
         return _grouped_bucket_pairs(buckets, max_bucket_size).dropDuplicates(
             [LEFT, RIGHT]
         )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band", "key")
-    buckets = buckets.withColumn("_sz", F.count(F.lit(1)).over(w))
-    if max_bucket_size is not None:
-        buckets = buckets.where(F.col("_sz") <= max_bucket_size)
-    return _salted_self_pairs(buckets, salt_above).dropDuplicates([LEFT, RIGHT])
+    return _salted_self_pairs(
+        buckets, salt_above, max_bucket_size=max_bucket_size
+    ).dropDuplicates([LEFT, RIGHT])
 
 
 def minhash_candidates(

@@ -425,13 +425,9 @@ def fast_lsh_dedup(
                 buckets, max_bucket_size, key_cols=kc, prefilter_hot=has_drops
             )
         else:
-            from pyspark.sql import Window
-
-            w = Window.partitionBy("key")
-            sized = buckets.withColumn("_sz", F.count(F.lit(1)).over(w))
-            if max_bucket_size is not None:
-                sized = sized.where(F.col("_sz") <= max_bucket_size)
-            raw_pairs = _salted_self_pairs(sized, salt_above, key_cols=kc)
+            raw_pairs = _salted_self_pairs(
+                buckets, salt_above, key_cols=kc, max_bucket_size=max_bucket_size
+            )
         collisions = raw_pairs.groupBy(LEFT, RIGHT).agg(
             F.count(F.lit(1)).alias("_nbands")
         )

@@ -682,15 +682,10 @@ def simhash_candidates(
             )
         ).alias("bk"),
     ).select(DOC, "simhash", F.col("bk.blk").alias("band"), F.col("bk.key").alias("key"))
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "key")
-        blocks = (
-            blocks.withColumn("_sz", F.count(F.lit(1)).over(w))
-            .where(F.col("_sz") <= max_bucket_size)
-            .drop("_sz")
-        )
+    # cap via count-agg + anti-join (capped_buckets): a hot block key —
+    # e.g. the all-zero block of short/boilerplate docs — would land every
+    # member in one window task, and AQE can split joins but not windows
+    blocks = capped_buckets(blocks, max_bucket_size)
     l = blocks.select("band", "key", F.col(DOC).alias(LEFT), F.col("simhash").alias("_hl"))
     r = blocks.select("band", "key", F.col(DOC).alias(RIGHT), F.col("simhash").alias("_hr"))
     return (

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import GROUP_REP_CENTROID, MatchConfig
@@ -134,15 +134,19 @@ def group_labels(
         ranked = comp.join(weights, NODE, "left").withColumn(
             "_weight", F.coalesce(F.col("_weight"), F.lit(0.0))
         )
-        order = [F.col("_weight").desc(), F.col(NODE).asc()]
+        # argmax weight, tie -> min node, as one MIN-of-struct: negating the
+        # (non-negative) weight makes lexicographic struct-min equal the
+        # row_number()-over-(weight desc, node asc) pick
+        pick = F.min(F.struct((-F.col("_weight")).alias("_o"), F.col(NODE).alias("_n")))
     else:
-        ranked = comp.withColumn("_weight", F.col(NODE))
-        order = [F.col(NODE).asc()]
-
-    w = Window.partitionBy(COMPONENT).orderBy(*order)
+        ranked = comp
+        pick = F.min(F.struct(F.col(NODE).alias("_o"), F.col(NODE).alias("_n")))
+    # groupBy + join instead of a row_number window over COMPONENT: a
+    # boilerplate MEGACOMPONENT would land in one window sort task, while
+    # the aggregation combines map-side and AQE can skew-split the join
     reps = (
-        ranked.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(F.col(COMPONENT), F.col(NODE).alias("group_rep"))
+        ranked.groupBy(COMPONENT)
+        .agg(pick.alias("_p"))
+        .select(COMPONENT, F.col("_p._n").alias("group_rep"))
     )
     return comp.join(reps, COMPONENT).select(NODE, "group_rep")

@@ -121,3 +121,36 @@ def test_ann_broadcasts_query_side(spark):
     out = cosine_topk_bruteforce(emb, emb.limit(10), k=3)
     plan = plan_of(out)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_salted_pairing_has_no_window(spark):
+    # bucket sizing for the salted join must be a partial-agg count + join,
+    # never Window.partitionBy(key): a hot key's rows would land in one
+    # window sort task (AQE splits skewed joins, not windows)
+    import pandas as pd
+
+    from string_grouper_spark.operators.candidates import _salted_self_pairs
+
+    buckets = spark.createDataFrame(
+        pd.DataFrame({"key": [1] * 6 + [2] * 3, "doc_id": range(9)})
+    )
+    plan = plan_of(
+        _salted_self_pairs(buckets, 2, key_cols=("key",), max_bucket_size=100)
+    )
+    assert "Window" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_group_rep_selection_has_no_window(spark, docs):
+    # representative picking is a min-of-struct aggregation + join back:
+    # a megacomponent must never sort inside one window task
+    from string_grouper_spark.operators.grouping import group_labels
+
+    cfg = MatchConfig(min_similarity=0.5, max_n_matches=1_000_000)
+    edges = spark.createDataFrame(
+        [(0, 1, 0.9), (1, 0, 0.9), (0, 0, 1.0), (1, 1, 1.0), (2, 2, 1.0)],
+        ["master_side", "dupe_side", "similarity"],
+    )
+    nodes = docs.limit(3).select("doc_id")
+    plan = plan_of(group_labels(edges, nodes, cfg))
+    assert "Window" not in plan, plan

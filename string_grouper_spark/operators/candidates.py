@@ -243,8 +243,11 @@ def _salted_self_pairs(
     """
     keys = list(key_cols)
     if salt_above is None:
-        l = buckets.select(*keys, F.col(DOC).alias(LEFT))
-        r = buckets.select(*keys, F.col(DOC).alias(RIGHT))
+        # the cap applies on this branch too (callers that pre-route small
+        # buckets elsewhere just pass max_bucket_size=None)
+        b = capped_buckets(buckets, max_bucket_size, key_cols)
+        l = b.select(*keys, F.col(DOC).alias(LEFT))
+        r = b.select(*keys, F.col(DOC).alias(RIGHT))
         return (
             l.join(r, keys)
             .where(F.col(LEFT) < F.col(RIGHT))
@@ -946,6 +949,7 @@ def substring_containment_bipartite(
     id_col: str = "doc_id",
     window_len: Optional[int] = None,
     stride: Optional[int] = None,
+    skip_stats: Optional[dict] = None,
 ) -> DataFrame:
     """All (inner_id, outer_id) where an ``inner_docs`` row's normalized
     text occurs verbatim inside an ``outer_docs`` row's — the DECONTAMINATION
@@ -959,6 +963,17 @@ def substring_containment_bipartite(
     minima.  Cost: one narrow Arrow pass per side + one equi-join on the
     fingerprint hash; ids may overlap between sides and are NOT excluded
     (the two tables are distinct corpora).
+
+    CONTRACT: benchmark items whose NORMALIZED length is below
+    ``anchor_len`` are NOT searched for (the winnowing guarantee needs
+    >= anchor_len characters) — lower ``anchor_len`` to cover shorter
+    items, and pass ``skip_stats`` (a dict) to receive
+    ``{"n_inner_skipped": ...}`` so short-item skips are never silent.
+    The normalized corpus side is persisted for the two consumers
+    (stripe index + verify join) and stays cached until the returned
+    plan's results are consumed and the executor evicts it — on repeated
+    calls in one session, clear it via ``spark.catalog.clearCache()`` or
+    re-use one matcher result.
     """
     from ..functions.normalize import normalize_expr
 
@@ -972,6 +987,16 @@ def substring_containment_bipartite(
         F.col(id_col).alias("outer_id"),
         normalize_expr(F.col(text_col), cfg).alias("outer_norm"),
     ).persist()
+    if skip_stats is not None:
+        n_skip = inner_norm.where(F.length("inner_norm") < anchor_len).count()
+        skip_stats["n_inner_skipped"] = int(n_skip)
+        if n_skip:
+            import logging
+
+            logging.getLogger("string_grouper_spark.contamination").warning(
+                "%d benchmark item(s) shorter than anchor_len=%d after "
+                "normalization are NOT searched for", n_skip, anchor_len
+            )
     anchors = (
         inner_norm.where(F.length("inner_norm") >= anchor_len)
         .select("inner_id", "inner_norm", winnow(F.col("inner_norm")).alias("fp"))

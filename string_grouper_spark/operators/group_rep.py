@@ -28,13 +28,33 @@ def _rep_by_weight(
     Tie-break = first row in frame order; we require a deterministic
     ``_pos`` ordering column (caller attaches it), mirroring pandas
     idxmin/idxmax first-occurrence semantics (SGU:116-117).
+
+    Implemented as ONE min/max-of-struct aggregation + join back, not a
+    ``row_number`` window over the group: a boilerplate megagroup would
+    sort inside a single window task, while the aggregation combines
+    map-side and the join is AQE-splittable.  Ordering equivalence: the
+    struct compares (weight, ±_pos) lexicographically — ``_pos`` is unique,
+    so the carried payload never participates — and Spark's total order
+    places NULL smallest, reproducing the window's nulls-first-asc /
+    nulls-last-desc placement exactly (max-of-struct with negated _pos
+    flips the tie-break back to first-occurrence).
     """
-    order = [weight.asc() if ascending else weight.desc(), F.col("_pos").asc()]
-    w = Window.partitionBy(group_col).orderBy(*order)
+    payload = F.struct(*[F.col(c).alias(c) for c in out_cols]).alias("_vals")
+    if ascending:
+        pick = F.min(
+            F.struct(weight.alias("_w"), F.col("_pos").alias("_p"), payload)
+        )
+    else:
+        pick = F.max(
+            F.struct(weight.alias("_w"), (-F.col("_pos")).alias("_p"), payload)
+        )
     reps = (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(group_col, *[F.col(c).alias(f"_rep_{c}") for c in out_cols])
+        df.groupBy(group_col)
+        .agg(pick.alias("_pick"))
+        .select(
+            group_col,
+            *[F.col(f"_pick._vals.{c}").alias(f"_rep_{c}") for c in out_cols],
+        )
     )
     out = df.join(reps, group_col)
     for c in out_cols:

@@ -138,15 +138,16 @@ def group_labels(
         # (non-negative) weight makes lexicographic struct-min equal the
         # row_number()-over-(weight desc, node asc) pick
         pick = F.min(F.struct((-F.col("_weight")).alias("_o"), F.col(NODE).alias("_n")))
-    else:
-        ranked = comp
-        pick = F.min(F.struct(F.col(NODE).alias("_o"), F.col(NODE).alias("_n")))
-    # groupBy + join instead of a row_number window over COMPONENT: a
-    # boilerplate MEGACOMPONENT would land in one window sort task, while
-    # the aggregation combines map-side and AQE can skew-split the join
-    reps = (
-        ranked.groupBy(COMPONENT)
-        .agg(pick.alias("_p"))
-        .select(COMPONENT, F.col("_p._n").alias("group_rep"))
-    )
-    return comp.join(reps, COMPONENT).select(NODE, "group_rep")
+        # groupBy + join instead of a row_number window over COMPONENT: a
+        # boilerplate MEGACOMPONENT would land in one window sort task, while
+        # the aggregation combines map-side and AQE can skew-split the join
+        reps = (
+            ranked.groupBy(COMPONENT)
+            .agg(pick.alias("_p"))
+            .select(COMPONENT, F.col("_p._n").alias("group_rep"))
+        )
+        return comp.join(reps, COMPONENT).select(NODE, "group_rep")
+    # 'first' rep = smallest node id in the component, which IS the
+    # component label (connected_components' min-id invariant) — no
+    # aggregation or join needed at all
+    return comp.select(NODE, F.col(COMPONENT).alias("group_rep"))

@@ -516,3 +516,18 @@ def test_substring_containment_bipartite_equals_bruteforce(spark, docs):
                 want.add((b.doc_id, did))
     assert got_set == want
     assert len(want) >= bpdf.shape[0] - (bpdf["text"].str.len() < 16).sum() - 5
+
+
+def test_bipartite_containment_reports_short_item_skips(spark, docs):
+    # contract: sub-anchor_len benchmark items are not searched for, and
+    # the skip accounting says so (never silent)
+    import pandas as pd
+
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["tiny", "x" * 40]})
+    )
+    stats: dict = {}
+    cand.substring_containment_bipartite(
+        bench, docs.limit(20), MatchConfig(), anchor_len=16, skip_stats=stats
+    ).count()
+    assert stats["n_inner_skipped"] == 1

@@ -762,7 +762,7 @@ WITH urls AS (
          lower(regexp_extract(pre, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1)) AS hostport,
          regexp_replace(regexp_extract(pre, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(.*)$', 1), '/+$', '') AS path,
          array_to_string(list_sort(list_filter(string_split(q, '&'),
-           p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|msclkid)='))), '&') AS q2
+           p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=&]*|gclid|fbclid|msclkid)(=|$)'))), '&') AS q2
   FROM split
 ), canon AS (
   SELECT doc_id,

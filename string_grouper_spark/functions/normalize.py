@@ -80,10 +80,16 @@ def ngrams_expr(norm_col: Column, ngram_size: int) -> Column:
 
 
 def py_normalize(s: str, cfg: MatchConfig) -> str:
-    """Single-string normalization (driver-side parity helper / oracle)."""
+    """Single-string normalization (driver-side parity helper; also the
+    per-doc kernel of the fast plan's ``_encode_doc`` terms stage).
+
+    Same ASCII fast path as ``_nfkd_ascii``: ``str.isascii`` is a C-level
+    scan and NFKD is the identity on pure ASCII, so ASCII rows (the
+    overwhelming majority of webtext) skip the expensive normalize.
+    """
     if cfg.ignore_case and s is not None:
         s = s.lower()
-    if cfg.normalize_to_ascii:
+    if cfg.normalize_to_ascii and not s.isascii():
         s = unicodedata.normalize("NFKD", s).encode("ASCII", "ignore").decode()
     return re.sub(cfg.regex, "", s)
 

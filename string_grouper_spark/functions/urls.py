@@ -26,7 +26,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_TRACKING_RE = "^(utm_[^=]*|gclid|fbclid|msclkid)="
+# '(=|$)' (not a bare '='): valueless tracking params ('?gclid', '?utm_source')
+# must also be dropped or they split one page into two identities
+_TRACKING_RE = "^(utm_[^=&]*|gclid|fbclid|msclkid)(=|$)"
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 
 
@@ -101,23 +103,33 @@ def url_dedup(
     (map-side partial agg; no window, no sort of the full table).
     """
     cols = pages.columns
+    if "canonical_url" in cols:
+        raise ValueError(
+            "url_dedup: input already has a 'canonical_url' column — rename "
+            "or drop it (the operator prepends its own canonical_url)."
+        )
     # null-ts rows order AFTER every real timestamp via a far-future
     # sentinel; the kept row still carries its original (null) value
     ts_ord = F.coalesce(
         F.col(ts_col), F.lit("9999-12-31 23:59:59").cast("timestamp")
     )
-    pick = F.min(
-        F.struct(
-            ts_ord.alias("_ord"),
-            F.col(url_col).alias("_u"),
-            F.struct(*[F.col(c) for c in cols]).alias("_row"),
-        )
-    ).alias("_pick")
+    # min_by: the payload row is the VALUE, never part of the comparator —
+    # unorderable payload types (map columns, common in WARC metadata) would
+    # fail analysis inside a min(struct(...)) ordering.  _mid (projected
+    # BEFORE the agg: nondeterministic expressions are rejected inside
+    # aggregate arguments) makes the key unique, so ties on (ts, url) —
+    # duplicate rows differing only in payload — still have a well-defined
+    # winner within a run.
+    key = F.struct(
+        ts_ord.alias("_ord"), F.col(url_col).alias("_u"), F.col("_mid")
+    )
+    pick = F.min_by(F.struct(*[F.col(c) for c in cols]), key).alias("_row")
     return (
         pages.select(canonical_url(url_col).alias("canonical_url"), "*")
+        .withColumn("_mid", F.monotonically_increasing_id())
         .groupBy("canonical_url")
         .agg(pick)
-        .select("canonical_url", *[F.col(f"_pick._row.{c}").alias(c) for c in cols])
+        .select("canonical_url", *[F.col(f"_row.{c}").alias(c) for c in cols])
     )
 
 

@@ -72,11 +72,16 @@ def _with_pos(df: DataFrame, pos_col: Optional[str]) -> DataFrame:
     """
     if pos_col is not None:
         return df.withColumn("_pos", F.col(pos_col))
-    # Two jobs read df (offset collect + position tagging); PERSIST pins one
-    # partition layout across both — without it AQE re-planning or lazy
-    # re-computation could shift partition ids between the jobs and the
-    # offsets would label the wrong partitions.
-    df = df.persist()
+    # Multiple jobs read df (offset collect + position tagging + the caller's
+    # agg/join-back); localCheckpoint pins ONE partition layout across all of
+    # them — without it AQE re-planning or lazy re-computation could shift
+    # partition ids between the jobs and the offsets would label the wrong
+    # partitions.  localCheckpoint (not persist): eager, truncates lineage so
+    # downstream can never recompute the layout-sensitive scan, and its
+    # blocks are released by the ContextCleaner when the plan is dropped —
+    # persist() leaked a CacheManager entry for the session lifetime because
+    # no caller could safely unpersist a lazily-consumed result.
+    df = df.localCheckpoint()
     sizes = (
         df.select(F.spark_partition_id().alias("_pid"))
         .groupBy("_pid")

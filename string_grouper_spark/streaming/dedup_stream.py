@@ -170,27 +170,23 @@ def streaming_simhash_tag(
     cfg = cfg or MatchConfig()
     normed = stream.withColumn("_norm", normalize_expr(F.col(text_col), cfg))
     grams = normed.withColumn("_grams", ngrams_expr(F.col("_norm"), cfg.ngram_size))
-    # per-row tf aggregation without a stateful shuffle: gram counts computed
-    # inside the array expression (stream-safe: no groupBy needed)
-    counted = grams.withColumn(
-        "_gram_structs",
-        F.transform(
-            F.array_distinct("_grams"),
-            lambda g: F.struct(
-                F.xxhash64(g).alias("gh"),
-                F.size(F.filter("_grams", lambda x: x == g)).alias("tf"),
-            ),
-        ),
-    )
+    # NO per-row tf aggregation at all: SimHash's tf-weighted vote over
+    # DISTINCT grams equals a +/-1 vote per gram OCCURRENCE (sum over
+    # distinct g of tf(g)*sign(g) == sum over occurrences of sign(g)), and
+    # votes are exact integers, so passing every gram with tf=1 is
+    # bit-identical to the batch engines — while staying O(L) in the gram
+    # count.  The previous distinct x filter formulation rescanned the full
+    # gram array once per distinct gram (O(L^2) interpreted-lambda
+    # comparisons: ~10^8 per 10k-gram page).
     # simhash_expr is pure Catalyst (no Python UDF), so it composes freely
     # with the higher-order expressions above even inside a streaming plan
-    return counted.withColumn(
+    return grams.withColumn(
         "simhash",
         simhash_expr(
-            F.transform("_gram_structs", lambda s: s["gh"]),
-            F.transform("_gram_structs", lambda s: s["tf"]),
+            F.transform("_grams", lambda g: F.xxhash64(g)),
+            F.transform("_grams", lambda g: F.lit(1)),
         ),
-    ).drop("_norm", "_grams", "_gram_structs")
+    ).drop("_norm", "_grams")
 
 
 def streaming_incremental_dedup(

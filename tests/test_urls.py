@@ -32,6 +32,11 @@ CASES = [
     ("http://example.com:443/x", "http://example.com:443/x"),
     # schemeless input: only fragment/query/trailing-slash normalization
     ("relative/path/?b=1&utm_campaign=z#x", "relative/path?b=1"),
+    # VALUELESS tracking params must also be dropped ('?gclid' with no '=')
+    ("https://example.com/p?gclid", "https://example.com/p"),
+    ("https://example.com/p?utm_source&a=1", "https://example.com/p?a=1"),
+    # ...but a non-tracking param whose NAME merely starts like one survives
+    ("https://example.com/p?gclid2=x", "https://example.com/p?gclid2=x"),
 ]
 
 
@@ -89,6 +94,39 @@ def test_url_dedup_null_timestamp_loses(spark):
     assert len(out) == 1
     assert out.loc[0, "text"] == "dated variant"
     assert str(out.loc[0, "warc_ts"]).startswith("2024-01-05")
+
+
+def test_url_dedup_unorderable_payload_and_ties(spark):
+    # payload includes a MAP column (common in WARC metadata): it must ride
+    # along as the picked VALUE without ever entering the comparator (a
+    # min-of-struct ordering over the full row would fail analysis on maps)
+    df = spark.createDataFrame(
+        [
+            ("https://a.com/p", "2024-02-01 00:00:00", {"k": "later"}),
+            ("https://a.com/p/", "2024-01-01 00:00:00", {"k": "earliest"}),
+        ],
+        "url string, warc_ts string, meta map<string,string>",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    out = url_dedup(df).toPandas()
+    assert len(out) == 1
+    assert out.loc[0, "meta"] == {"k": "earliest"}
+
+    # exact (ts, url) ties — true duplicate rows — still dedup to one row
+    dup = spark.createDataFrame(
+        [("https://a.com/q", "2024-01-01 00:00:00", {"k": "v"})] * 2,
+        "url string, warc_ts string, meta map<string,string>",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    assert url_dedup(dup).count() == 1
+
+
+def test_url_dedup_rejects_existing_canonical_url_column(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("https://a.com/p", "x")], "url string, canonical_url string"
+    )
+    with pytest.raises(ValueError, match="canonical_url"):
+        url_dedup(df, ts_col="url")
 
 
 def test_url_dedup_on_synthetic_pages(spark):

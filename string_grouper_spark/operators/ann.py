@@ -5,9 +5,12 @@ Two paths:
     broadcast of the (small) query side, pure JVM expressions
     (``zip_with`` + ``aggregate``), no UDF.
   * ``lsh_cosine_topk`` — scale path: random-hyperplane (sign-LSH) bucketing
-    so only docs sharing a band key are compared; the same exact JVM scorer
-    re-scores candidates.  Hyperplanes are deterministic (seeded) and built
-    driver-side as literal arrays — broadcast automatically with the plan.
+    so only docs sharing a band key are compared.  The plane matrix is a
+    deterministic (seeded) numpy array broadcast once; sign keys come from
+    ONE BLAS matmul per Arrow batch and candidates are re-scored by an
+    Arrow-batched numpy dot — no interpreted per-pair/per-plane Catalyst
+    lambdas anywhere on the scale paths (measured 10-60x slower in this
+    engine's own A/Bs; see BASELINE.md optimization log).
 """
 
 from __future__ import annotations
@@ -125,36 +128,46 @@ def cosine_topk_blocked(
     interact).  Total compute stays O(n_items * n_queries) — the chunking
     bounds DRIVER/broadcast memory, which is what capped the self-search.
     """
-    spark = items.sparkSession
     self_search = queries is None
     qs = queries if queries is not None else items
     kk = int(k)
-    qunit = with_unit_vectors(
-        qs.select(F.col(id_col).alias("_id"), vec_col), vec_col
-    ).select("_id", "unit")
-
-    n_q = qs.count()
-    if n_q > max_query_rows:
-        # hash-disjoint chunks: sizes are binomial around n/chunks, so the
-        # per-chunk collect stays near max_query_rows without a global sort
-        n_chunks = int(np.ceil(n_q / max_query_rows))
-        qunit = qunit.withColumn(
-            "_chunk", F.pmod(F.xxhash64("_id"), F.lit(n_chunks)).cast("int")
-        )
-        parts = [
-            _blocked_topk_one_chunk(
-                items, qunit.where(F.col("_chunk") == c).drop("_chunk"),
-                kk, id_col, vec_col, self_search,
+    # ONE job over the query side: persist the slim (_id, raw vec)
+    # projection, count from the cache, and collect every chunk from the
+    # cache.  The previous shape ran a separate qs.count() plus one full
+    # query-side scan PER CHUNK, each re-evaluating the interpreted
+    # unit-vector HOF — n_chunks+1 query-side jobs that dominated the bench
+    # wall (BENCH_r03 ann_topk regression).  Normalization now happens in
+    # numpy on the collected block, so no Catalyst HOF runs at all.
+    qraw = qs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).persist()
+    try:
+        n_q = qraw.count()
+        if n_q > max_query_rows:
+            # hash-disjoint chunks: sizes are binomial around n/chunks, so
+            # the per-chunk collect stays near max_query_rows without a
+            # global sort
+            n_chunks = int(np.ceil(n_q / max_query_rows))
+            qc = qraw.withColumn(
+                "_chunk", F.pmod(F.xxhash64("_id"), F.lit(n_chunks)).cast("int")
             )
-            for c in range(n_chunks)
-        ]
-        local = parts[0]
-        for p in parts[1:]:
-            local = local.unionAll(p)
-    else:
-        local = _blocked_topk_one_chunk(
-            items, qunit, kk, id_col, vec_col, self_search
-        )
+            parts = [
+                _blocked_topk_one_chunk(
+                    items, qc.where(F.col("_chunk") == c).drop("_chunk"),
+                    kk, id_col, vec_col, self_search,
+                )
+                for c in range(n_chunks)
+            ]
+            local = parts[0]
+            for p in parts[1:]:
+                local = local.unionAll(p)
+        else:
+            local = _blocked_topk_one_chunk(
+                items, qraw, kk, id_col, vec_col, self_search
+            )
+    finally:
+        # qraw is only read EAGERLY above (count + per-chunk toPandas); the
+        # returned plan references items + broadcasts only, so releasing the
+        # cache here is safe
+        qraw.unpersist()
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("item_id").asc())
     return (
         local.withColumn("_rn", F.row_number().over(w))
@@ -165,20 +178,24 @@ def cosine_topk_blocked(
 
 def _blocked_topk_one_chunk(
     items: DataFrame,
-    qunit: DataFrame,
+    qraw: DataFrame,
     kk: int,
     id_col: str,
     vec_col: str,
     self_search: bool,
 ) -> DataFrame:
-    """One bounded query chunk: collect + broadcast the (_id, unit) frame,
+    """One bounded query chunk: collect + broadcast the (_id, vec) frame
+    (unit-normalized in numpy driver-side — no Catalyst HOF evaluation),
     emit each item partition's local top-k per query via one BLAS matmul."""
     spark = items.sparkSession
-    qpdf = qunit.toPandas()
+    qpdf = qraw.select("_id", "_v").toPandas()
     if not len(qpdf):
         return spark.createDataFrame([], _TOPK_SCHEMA)
     qids = qpdf["_id"].to_numpy(dtype=np.int64)
-    qmat = np.stack(qpdf["unit"].to_numpy()).astype(np.float64)
+    qmat = np.stack(qpdf["_v"].to_numpy()).astype(np.float64)
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0  # zero query vectors score cos 0, like the item side
+    qmat = qmat / qn
     bc = spark.sparkContext.broadcast((qids, qmat))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -216,31 +233,138 @@ def _hyperplanes(dim: int, num_planes: int, seed: int = 0x9E3D) -> np.ndarray:
     return rng.normal(size=(num_planes, dim)).astype(float)
 
 
-def _sign_lsh_buckets(
-    unit: DataFrame, dim: int, num_tables: int, planes_per_table: int
+def _bucket_local_topk(
+    assigned: DataFrame, group_keys: list, kk: int, row_block: int = 1024
 ) -> DataFrame:
-    """(_id, unit) -> (_id, unit, tbl, key): one bucket row per hash table.
+    """Score bucketmates INSIDE each bucket: one ``applyInPandas`` kernel
+    per bucket runs a row-blocked BLAS matmul over the bucket's unit
+    vectors and emits only each query's LOCAL top-k (candidates tied at
+    the k-th value included).  Local top-k is lossless for the global
+    top-k over the candidate set — if x ranks below k-th for q inside a
+    shared bucket, the k better bucketmates are also global candidates, so
+    x can never enter q's global top-k (same argument as
+    ``_blocked_topk_one_chunk``).
+
+    This replaces the bucket self-JOIN + per-pair re-score, which shipped
+    two dim-length arrays through the shuffle for EVERY candidate pair
+    (O(candidates * dim) bytes, the measured bottleneck); here the shuffle
+    is one slim (keys, id, unit) row per assignment in and O(m * k)
+    triples out.  Memory per task is O(m * dim + row_block * m) for an
+    m-row bucket — ``planes_per_table`` / ``n_centroids`` bound expected m,
+    and ``row_block`` bounds the score matrix.
+    """
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "item_id": pd.Series([], dtype=np.int64),
+                    "cos": pd.Series([], dtype=np.float64),
+                }
+            )
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        U = np.stack(pdf["unit"].to_numpy())
+        outs = []
+        for s in range(0, n, row_block):
+            e = min(s + row_block, n)
+            S = U[s:e] @ U.T
+            S[np.arange(e - s), np.arange(s, e)] = -np.inf  # self-pairs
+            if n > kk:
+                kth = np.partition(S, n - kk, axis=1)[:, n - kk]
+                mask = (S >= kth[:, None]) & np.isfinite(S)
+            else:
+                mask = np.isfinite(S)
+            r, c = np.nonzero(mask)
+            outs.append(
+                pd.DataFrame(
+                    {"query_id": ids[s + r], "item_id": ids[c], "cos": S[r, c]}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return assigned.groupBy(*group_keys).applyInPandas(score, _TOPK_SCHEMA)
+
+
+def _finalize_topk(cand: DataFrame, kk: int) -> DataFrame:
+    """Global top-k over bucket candidates: duplicates from multiple shared
+    buckets carry bitwise-identical cos (same BLAS on the same rows), so a
+    slim (q, i, cos)-triple dedup + one window finishes the query."""
+    dedup = cand.dropDuplicates(["query_id", "item_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("item_id").asc()
+    )
+    return (
+        dedup.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= kk)
+        .drop("_rn")
+    )
+
+
+def _sign_lsh_buckets(
+    items: DataFrame,
+    dim: int,
+    num_tables: int,
+    planes_per_table: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec) -> (_id, unit, tbl, key): one bucket row per hash table,
+    computed in ONE narrow mapInPandas pass — the plane matrix is broadcast
+    once and all sign bits of a batch come from a single BLAS matmul
+    (``unit @ planes.T > 0``), instead of one interpreted literal-array
+    ``aggregate`` lambda per plane per row.  Unit vectors are normalized in
+    the same pass (zero vectors -> zero unit, cos 0) and carried through so
+    the re-score never re-evaluates a normalization expression.
 
     Each table hashes a vector to ``planes_per_table`` sign bits (random
     hyperplanes, deterministic seed).  P(same key per table) =
     (1 - theta/pi)^planes_per_table — multiple tables recover recall.
     """
+    from pyspark.sql.types import ArrayType, IntegerType
+
     planes = _hyperplanes(dim, num_tables * planes_per_table)
-
-    def sign_bit(plane: np.ndarray):
-        arr = F.array(*[F.lit(float(v)) for v in plane])
-        return (_dot_expr(F.col("unit"), arr) > 0).cast("int")
-
-    keys = []
-    for t in range(num_tables):
-        bits = [
-            sign_bit(planes[t * planes_per_table + j]) * (2**j)
-            for j in range(planes_per_table)
+    spark = items.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+    T, P = int(num_tables), int(planes_per_table)
+    schema = StructType(
+        [
+            StructField("_id", LongType(), False),
+            StructField("unit", ArrayType(DoubleType()), True),
+            StructField("tbl", IntegerType(), False),
+            StructField("key", LongType(), False),
         ]
-        keys.append(F.struct(F.lit(t).alias("tbl"), sum(bits).alias("key")))
-    return unit.select(
-        "_id", "unit", F.explode(F.array(*keys)).alias("bk")
-    ).select("_id", "unit", F.col("bk.tbl").alias("tbl"), F.col("bk.key").alias("key"))
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        PL = bc.value
+        pw = (1 << np.arange(P)).astype(np.int64)
+        tbls = np.arange(T, dtype=np.int32)
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            unit = mat / nrm
+            bits = (unit @ PL.T) > 0  # (n, T*P), one matmul per batch
+            keys = bits.reshape(n, T, P).astype(np.int64) @ pw  # (n, T)
+            rep = np.repeat(np.arange(n), T)
+            yield pd.DataFrame(
+                {
+                    "_id": ids[rep],
+                    "unit": list(unit[rep]),
+                    "tbl": np.tile(tbls, n),
+                    "key": keys.ravel(),
+                }
+            )
+
+    return items.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).mapInPandas(assign, schema)
 
 
 def lsh_cosine_topk(
@@ -254,27 +378,16 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """Approximate self top-k via sign-LSH bucketing + exact re-score.
 
-    Only bucketmates are scored: the cross join of brute force is replaced
-    by an equi-join on the (table, key) bucket key.
+    Only bucketmates are scored: signatures come from one broadcast-plane
+    matmul pass, each (table, key) bucket scores its members with a
+    row-blocked BLAS matmul and emits local top-k triples, and one slim
+    dedup + window finishes — no interpreted per-pair lambdas and no pair
+    join shipping dim-length arrays.
     """
-    unit = with_unit_vectors(items.select(F.col(id_col).alias("_id"), vec_col), vec_col)
-    bucketed = _sign_lsh_buckets(unit, dim, num_tables, planes_per_table)
-    l = bucketed.select("tbl", "key", F.col("_id").alias("query_id"), F.col("unit").alias("_qu"))
-    r = bucketed.select("tbl", "key", F.col("_id").alias("item_id"), F.col("unit").alias("_iu"))
-    cand = (
-        l.join(r, ["tbl", "key"])
-        .where(F.col("query_id") != F.col("item_id"))
-        .dropDuplicates(["query_id", "item_id"])
+    bucketed = _sign_lsh_buckets(
+        items, dim, num_tables, planes_per_table, id_col, vec_col
     )
-    scored = cand.select(
-        "query_id", "item_id", _dot_expr(F.col("_qu"), F.col("_iu")).alias("cos")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("item_id").asc())
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= int(k))
-        .drop("_rn")
-    )
+    return _finalize_topk(_bucket_local_topk(bucketed, ["tbl", "key"], int(k)), int(k))
 
 
 def _kmeans_centroids(
@@ -327,10 +440,12 @@ def ivf_cosine_topk(
     uniform-random vectors (worst case, no structure) recall degrades
     gracefully with nprobe — measure on your corpus.
     """
-    unit = with_unit_vectors(items.select(F.col(id_col).alias("_id"), vec_col), vec_col)
-    sample_pdf = unit.select("unit").limit(train_sample).toPandas()
-    sample = np.stack(sample_pdf["unit"].to_numpy()).astype(np.float64)
-    cents = _kmeans_centroids(sample, n_centroids, seed=seed)
+    raw = items.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    sample_pdf = raw.select("_v").limit(train_sample).toPandas()
+    sample = np.stack(sample_pdf["_v"].to_numpy()).astype(np.float64)
+    snrm = np.linalg.norm(sample, axis=1, keepdims=True)
+    snrm[snrm == 0] = 1.0
+    cents = _kmeans_centroids(sample / snrm, n_centroids, seed=seed)
     spark = items.sparkSession
     bc = spark.sparkContext.broadcast(cents)
     npb = int(min(nprobe, len(cents)))
@@ -351,37 +466,25 @@ def ivf_cosine_topk(
             if not len(pdf):
                 continue
             ids = pdf["_id"].to_numpy(dtype=np.int64)
-            units = pdf["unit"].to_numpy()
-            mat = np.stack(units).astype(np.float64)
-            sims = mat @ C.T
+            mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            unit = mat / nrm
+            sims = unit @ C.T
             probes = np.argpartition(-sims, npb - 1, axis=1)[:, :npb]
-            # carry the unit vector through so no second evaluation/join of
-            # the (interpreted) normalization expression is needed
+            # normalize HERE and carry the unit vector through, so no
+            # (interpreted) normalization expression ever runs
+            rep = np.repeat(np.arange(len(ids)), npb)
             yield pd.DataFrame(
                 {
-                    "_id": np.repeat(ids, npb),
+                    "_id": ids[rep],
                     "cell": probes.ravel().astype(np.int64),
-                    "unit": np.repeat(units, npb),
+                    "unit": list(unit[rep]),
                 }
             )
 
-    assigned = unit.select("_id", "unit").mapInPandas(assign, assign_schema)
-    l = assigned.select("cell", F.col("_id").alias("query_id"), F.col("unit").alias("_qu"))
-    r = assigned.select("cell", F.col("_id").alias("item_id"), F.col("unit").alias("_iu"))
-    cand = (
-        l.join(r, "cell")
-        .where(F.col("query_id") != F.col("item_id"))
-        .dropDuplicates(["query_id", "item_id"])
-    )
-    scored = cand.select(
-        "query_id", "item_id", _dot_expr(F.col("_qu"), F.col("_iu")).alias("cos")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("item_id").asc())
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= int(k))
-        .drop("_rn")
-    )
+    assigned = raw.mapInPandas(assign, assign_schema)
+    return _finalize_topk(_bucket_local_topk(assigned, ["cell"], int(k)), int(k))
 
 
 def embedding_near_dup_pairs(
@@ -403,25 +506,70 @@ def embedding_near_dup_pairs(
     baseline for small corpora.  ``round_digits``: threshold on the rounded
     cosine so an independent oracle engine tie-breaks identically.
     """
-    unit = with_unit_vectors(items.select(F.col(id_col).alias("_id"), vec_col), vec_col)
     if method == "exact":
+        # the ORACLE baseline: pure-Catalyst normalization + dot so the
+        # independent SQL oracle (DuckDB list_cosine_similarity) tie-breaks
+        # identically at the rounded threshold — keep it expression-only
+        unit = with_unit_vectors(
+            items.select(F.col(id_col).alias("_id"), vec_col), vec_col
+        )
         l = unit.select(F.col("_id").alias("left_id"), F.col("unit").alias("_ul"))
         r = unit.select(F.col("_id").alias("right_id"), F.col("unit").alias("_ur"))
         cand = F.broadcast(l).crossJoin(r).where(F.col("left_id") < F.col("right_id"))
+        cos = _dot_expr(F.col("_ul"), F.col("_ur"))
     elif method == "lsh":
         if dim is None:
             dim = len(items.select(vec_col).first()[0])
-        bucketed = _sign_lsh_buckets(unit, dim, num_tables, planes_per_table)
-        l = bucketed.select("tbl", "key", F.col("_id").alias("left_id"), F.col("unit").alias("_ul"))
-        r = bucketed.select("tbl", "key", F.col("_id").alias("right_id"), F.col("unit").alias("_ur"))
+        bucketed = _sign_lsh_buckets(
+            items, dim, num_tables, planes_per_table, id_col, vec_col
+        )
+        # per-bucket BLAS kernel, thresholded INSIDE the kernel (with a
+        # half-ulp-of-the-rounding margin so the final rounded comparison
+        # decides the boundary), ordered pairs i<j — no pair join, no
+        # dim-length arrays in the shuffle
+        margin = 0.5 * 10.0 ** (-round_digits) if round_digits is not None else 0.0
+        cut = float(threshold) - margin
+        pair_schema = StructType(
+            [
+                StructField("left_id", LongType(), False),
+                StructField("right_id", LongType(), False),
+                StructField("_cos", DoubleType(), False),
+            ]
+        )
+
+        def score(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame(
+                    {
+                        "left_id": pd.Series([], dtype=np.int64),
+                        "right_id": pd.Series([], dtype=np.int64),
+                        "_cos": pd.Series([], dtype=np.float64),
+                    }
+                )
+            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            U = np.stack(pdf["unit"].to_numpy())
+            outs = []
+            for s in range(0, n, 1024):
+                e = min(s + 1024, n)
+                S = U[s:e] @ U.T
+                mask = (S >= cut) & (ids[s:e, None] < ids[None, :])
+                r, c = np.nonzero(mask)
+                outs.append(
+                    pd.DataFrame(
+                        {"left_id": ids[s + r], "right_id": ids[c], "_cos": S[r, c]}
+                    )
+                )
+            return pd.concat(outs, ignore_index=True)
+
         cand = (
-            l.join(r, ["tbl", "key"])
-            .where(F.col("left_id") < F.col("right_id"))
+            bucketed.groupBy("tbl", "key")
+            .applyInPandas(score, pair_schema)
             .dropDuplicates(["left_id", "right_id"])
         )
+        cos = F.col("_cos")
     else:
         raise ValueError(method)
-    cos = _dot_expr(F.col("_ul"), F.col("_ur"))
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     return (

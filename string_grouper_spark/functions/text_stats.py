@@ -101,17 +101,60 @@ def fingerprint(
     text_col: str = "text",
     k: int = 9,
     out_col: str = "fingerprint",
+    engine: str = "fast",
 ) -> DataFrame:
-    """Winnowing-style document fingerprint: min xxhash64 over all k-char
+    """Winnowing-style document fingerprint: min hash over all k-char
     windows of the whitespace-collapsed lowered text.  Robust to reordering
     of large chunks; equal fingerprints => docs share their minimal window.
+
+    ``engine='fast'`` (default): ONE Arrow pass per batch sharing the
+    substring index's vectorized rolling polynomial hash
+    (``operators.candidates._roll_hash_windows`` — splitmix64-finalized, so
+    minima are uniform).  ``engine='catalyst'``: the pure-expression form
+    (xxhash64 per window position) for contexts that require a projection
+    with no Python — it is the interpreted-HOF shape measured ~60x slower
+    than the numpy kernel on long docs (see ``make_winnow_udf``), so it is
+    NOT the scan default.  The two engines use different (equally valid)
+    window hash functions, so fingerprint VALUES differ between engines;
+    the induced duplicate partition agrees wherever equal-fingerprint docs
+    share their minimal window (always true for exact duplicates), which a
+    test pins on the testdata corpus.
     """
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    windows = F.when(
-        F.length(norm) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.length(norm) - (k - 1)),
-            lambda i: F.xxhash64(F.substring(norm, i, k)),
-        ),
-    ).otherwise(F.array(F.xxhash64(norm)))
-    return df.withColumn(out_col, F.array_min(windows))
+    if engine == "catalyst":
+        windows = F.when(
+            F.length(norm) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.length(norm) - (k - 1)),
+                lambda i: F.xxhash64(F.substring(norm, i, k)),
+            ),
+        ).otherwise(F.array(F.xxhash64(norm)))
+        return df.withColumn(out_col, F.array_min(windows))
+    if engine != "fast":
+        raise ValueError(engine)
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    from ..operators.candidates import _roll_hash_windows
+
+    # no type annotations: the module uses PEP-563 string annotations and
+    # pd is function-local, so pyspark's hint resolver would fail on them
+    @pandas_udf(returnType=LongType(), functionType=None)
+    def min_window_hash(norms):
+        out = []
+        with np.errstate(over="ignore"):
+            for s in norms:
+                if s is None:
+                    out.append(None)  # null in -> null out, like xxhash64
+                    continue
+                # short strings fall back to one whole-string window, the
+                # same fallback shape as the catalyst form
+                kk = min(k, max(1, len(s.encode("utf-8"))))
+                v = _roll_hash_windows(s, kk)
+                out.append(None if v is None or not len(v) else int(v.min()))
+        return pd.Series(out, dtype="object")
+
+    return df.withColumn(out_col, min_window_hash(norm))

@@ -65,6 +65,49 @@ def test_fingerprint_invariance(spark):
     assert fps[0] != fps[2]
 
 
+def test_fingerprint_engines_honor_the_contract(spark):
+    # fast (numpy rolling hash) and catalyst (xxhash64 HOF) use different
+    # window hash functions, so VALUES differ and near-dup docs may pick
+    # different minimal windows — the CONTRACT both engines must honor is:
+    #   (1) identical normalized text => identical fingerprint;
+    #   (2) equal fingerprint => the docs share a k-char window verbatim
+    #       (their minimal one), verified in plain python.
+    import re
+
+    k = 9
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pdf = docs.select("doc_id", "text").toPandas()
+    norm = {
+        r.doc_id: re.sub(r"\s+", " ", r.text.lower()) for r in pdf.itertuples()
+    }
+    for engine in ("fast", "catalyst"):
+        out = (
+            text_stats.fingerprint(docs, k=k, engine=engine)
+            .select("doc_id", "fingerprint")
+            .toPandas()
+        )
+        fp = dict(zip(out.doc_id, out.fingerprint))
+        # (1) exact normalized duplicates collide
+        by_norm = {}
+        for d, n in norm.items():
+            by_norm.setdefault(n, []).append(d)
+        for ds in by_norm.values():
+            assert len({fp[d] for d in ds}) == 1
+        # (2) every fingerprint-equal pair shares a window verbatim
+        by_fp = {}
+        for d, f in fp.items():
+            by_fp.setdefault(f, []).append(d)
+        for ds in by_fp.values():
+            if len(ds) < 2:
+                continue
+            base = {norm[ds[0]][i:i + k] for i in range(len(norm[ds[0]]) - k + 1)}
+            for d in ds[1:]:
+                wins = {
+                    norm[d][i:i + k] for i in range(len(norm[d]) - k + 1)
+                }
+                assert base & wins, f"engine={engine}: {ds[0]} vs {d}"
+
+
 @pytest.fixture(scope="module")
 def embeddings(spark):
     return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()

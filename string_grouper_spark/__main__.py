@@ -80,6 +80,22 @@ def _build_parser() -> argparse.ArgumentParser:
     di.add_argument("--shingle", choices=["char", "word"], default="char")
     di.add_argument("--max-bucket-size", type=int, default=1000)
 
+    dc = sub.add_parser(
+        "dedup-compact",
+        help="fold a streaming_incremental_dedup match sink into cluster "
+        "labels via connected components; output (<id>, component), the "
+        "same contract as `dedup` — the periodic batch compaction of the "
+        "streaming near-dup lambda loop",
+    )
+    dc.add_argument("--input", required=True,
+                    help="parquet of ALL docs to label (corpus + streamed batches)")
+    dc.add_argument("--sink", required=True,
+                    help="match-sink parquet written by the stream")
+    dc.add_argument("--output", required=True)
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--min-similarity", type=float, default=None,
+                    help="optional stricter re-threshold over sink pairs")
+
     pr = sub.add_parser("pairs", help="exact TF-IDF cosine near-dup pairs")
     common(pr)
 
@@ -178,6 +194,13 @@ def main(argv: Optional[list] = None) -> int:
             text_col=args.text_col, id_col=args.id_col, drop_stats=stats,
         )
         print(json.dumps({"skew_policy": stats}), file=sys.stderr)
+    elif args.command == "dedup-compact":
+        from .streaming.dedup_stream import compact_incremental_matches
+
+        out = compact_incremental_matches(
+            spark, args.sink, df, id_col=args.id_col,
+            min_similarity=args.min_similarity,
+        )
     elif args.command == "pairs":
         from .operators.dedup import near_duplicate_pairs
 

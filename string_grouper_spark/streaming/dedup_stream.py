@@ -13,11 +13,16 @@ stream, so the engine ships two streaming operators:
     (the LSH/banding join then runs as periodic batch compaction over the
     signature sink, which is the standard lambda design for streaming
     near-dup: signatures streamed, candidate joins batched).
+
+``streaming_incremental_dedup`` + ``compact_incremental_matches`` close
+that lambda loop end-to-end: micro-batches are matched against a frozen
+corpus and appended to a pair sink; the compaction job folds the sink into
+the same (id, component) labels the batch flagship produces.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
@@ -224,3 +229,48 @@ def streaming_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_incremental_matches(
+    spark,
+    sink_path: str,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    min_similarity: Optional[float] = None,
+) -> DataFrame:
+    """Fold the ``streaming_incremental_dedup`` match sink into cluster
+    labels — the periodic batch compaction that closes the streaming
+    near-dup lambda loop (signatures/matches streamed, the graph closure
+    batched).
+
+    Reads the appended (master_side, dupe_side, similarity, batch_id)
+    pairs, optionally re-thresholds (a sink written at a lower
+    min_similarity can be compacted at a stricter one), and runs the same
+    O(log n) connected-components kernel as the batch flagship over
+    ``nodes`` (all ids that should receive a label: corpus + streamed
+    batches).  Output: (<id_col>, component), component = min id — the
+    ``fast_lsh_dedup`` contract, so downstream consumers never see which
+    path produced the labels.
+
+    A missing/empty sink (no batch produced a match) degrades to all-
+    singleton components.  Scale shape: one distinct over slim pair
+    triples + the CC rounds; the sink itself is bounded by the true match
+    volume, not the corpus.
+    """
+    from ..operators.grouping import connected_components
+
+    try:
+        matches = spark.read.parquet(sink_path)
+    except Exception:  # no files yet: foreachBatch only appends non-empty
+        matches = None
+    nd = nodes.select(F.col(id_col).cast("long").alias(id_col))
+    if matches is None:
+        edges = spark.createDataFrame([], "u long, v long")
+    else:
+        if min_similarity is not None:
+            matches = matches.where(F.col("similarity") >= float(min_similarity))
+        edges = matches.select(
+            F.col("master_side").cast("long").alias("u"),
+            F.col("dupe_side").cast("long").alias("v"),
+        ).dropDuplicates()
+    return connected_components(edges, nd).withColumnRenamed("node", id_col)

@@ -38,6 +38,39 @@ def test_cli_dedup_and_exact(spark, tmp_path):
     assert set(exact["n_docs"]) == {2}
 
 
+def test_cli_dedup_compact(spark, tmp_path):
+    # dedup-compact folds a match sink into the (id, component) contract
+    sink = f"{tmp_path}/sink"
+    pd_sink = pd.DataFrame(
+        {
+            "master_side": [0, 1, 5],
+            "dupe_side": [1, 2, 6],
+            "similarity": [0.95, 0.9, 0.7],
+            "batch_id": [0, 1, 1],
+        }
+    )
+    spark.createDataFrame(pd_sink).write.parquet(sink)
+    docs = f"{tmp_path}/docs"
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(8), "text": ["x"] * 8})
+    ).write.parquet(docs)
+
+    out = f"{tmp_path}/labels"
+    assert main(["dedup-compact", "--input", docs, "--sink", sink,
+                 "--output", out]) == 0
+    lab = spark.read.parquet(out).toPandas().set_index("doc_id")["component"]
+    assert lab.loc[0] == lab.loc[1] == lab.loc[2] == 0
+    assert lab.loc[5] == lab.loc[6] == 5
+    assert lab.loc[3] == 3 and lab.loc[7] == 7
+
+    # stricter re-threshold drops the 0.7 edge
+    out2 = f"{tmp_path}/labels2"
+    assert main(["dedup-compact", "--input", docs, "--sink", sink,
+                 "--output", out2, "--min-similarity", "0.8"]) == 0
+    lab2 = spark.read.parquet(out2).toPandas().set_index("doc_id")["component"]
+    assert lab2.loc[5] == 5 and lab2.loc[6] == 6
+
+
 def test_cli_topk(spark, tmp_path):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     src = f"{tmp_path}/emb"

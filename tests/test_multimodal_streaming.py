@@ -196,6 +196,78 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     assert {(i, i + 2000) for i in range(10, 15)} <= s
 
 
+def test_stream_plus_compaction_equals_batch_dedup(spark, tmp_path):
+    # the full streaming lambda loop: docs arrive as micro-batches, each is
+    # matched against the frozen corpus, and the periodic compaction folds
+    # the match sink into cluster labels — which must equal one-shot batch
+    # fast_lsh_dedup over the same corpus (same IDF space: corpus == all)
+    from string_grouper_spark.config import MatchConfig
+    from string_grouper_spark.plans.fast_dedup import (
+        PrefitLshMatcher,
+        fast_lsh_dedup,
+    )
+    from string_grouper_spark.streaming.dedup_stream import (
+        compact_incremental_matches,
+        streaming_incremental_dedup,
+    )
+
+    corpus = generate_pages(spark, 60, seed=23).select(
+        F.col("page_id").alias("doc_id"), "text"
+    )
+    # inject near-dups so the cluster structure is non-trivial
+    dups = corpus.where(F.col("doc_id") < 12).select(
+        (F.col("doc_id") + 100).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" .")).alias("text"),
+    )
+    allrows = corpus.unionByName(dups)
+    cfg = MatchConfig(min_similarity=0.8, max_n_matches=1_000_000)
+
+    src = f"{tmp_path}/batches"
+    allrows.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/b=0")
+    allrows.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/b=1")
+
+    matcher = PrefitLshMatcher(
+        allrows, cfg, num_perm=128, num_bands=32, max_bucket_size=None
+    )
+    stream = (
+        spark.readStream.schema(allrows.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b=*")
+    )
+    q = streaming_incremental_dedup(
+        stream, matcher, f"{tmp_path}/sink", f"{tmp_path}/ckpt"
+    )
+    q.awaitTermination(180)
+    matcher.unpersist()
+
+    compacted = compact_incremental_matches(
+        spark, f"{tmp_path}/sink", allrows, id_col="doc_id"
+    ).toPandas()
+    batch = (
+        fast_lsh_dedup(
+            allrows, cfg, num_perm=128, num_bands=32, max_bucket_size=None
+        )
+        .select("doc_id", "component")
+        .toPandas()
+    )
+    got = dict(zip(compacted.doc_id, compacted.component))
+    want = dict(zip(batch.doc_id, batch.component))
+    assert got == want
+    assert any(want[i] == want[i + 100] for i in range(12))  # real clusters
+
+
+def test_compaction_empty_sink_is_singletons(spark, tmp_path):
+    from string_grouper_spark.streaming.dedup_stream import (
+        compact_incremental_matches,
+    )
+
+    nodes = spark.range(5).select(F.col("id").alias("doc_id"))
+    out = compact_incremental_matches(
+        spark, f"{tmp_path}/no_such_sink", nodes
+    ).toPandas()
+    assert dict(zip(out.doc_id, out.component)) == {i: i for i in range(5)}
+
+
 def test_streaming_url_dedup(spark, tmp_path):
     # canonical_url is pure Catalyst -> runs inside Structured Streaming;
     # scheme-case/tracking-param variants of the same page collapse to one

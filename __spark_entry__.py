@@ -190,6 +190,20 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_dedup_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-VACUOUS exact-dedup evidence (VERDICT r3 #7): the documents
+    table unioned with itself under shifted ids, so every text has >= 2
+    exact copies and the duplicate-group operator must emit one row per
+    distinct content with the true count and min-id survivor.  (The plain
+    ``exact_dedup`` query stays: the driver corpus has no exact duplicate
+    texts, so that row only proves the empty case.)"""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    shifted = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return dedup_ops.exact_duplicate_groups(docs.unionAll(shifted)).select(
+        "content_hash", "n_docs", "keep_id"
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: char/token counts (whitespace + BPE-ish regex) and
     avg token length per doc."""
@@ -398,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "most_similar": q_most_similar,
         "pairwise": q_pairwise,
         "exact_dedup": q_exact_dedup,
+        "exact_dedup_dup": q_exact_dedup_dup,
         "token_stats": q_token_stats,
         "group_rep_earliest": q_group_rep_earliest,
         "group_rep_weight": q_group_rep_weight,
@@ -578,6 +593,15 @@ SELECT l AS left_id, r AS right_id, round(s, 6) AS sim_r FROM simpairs
 _ORACLES["exact_dedup"] = r"""
 SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
 FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+_ORACLES["exact_dedup_dup"] = r"""
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+)
+SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM doubled GROUP BY 1 HAVING count(*) > 1
 """
 
 _ORACLES["token_stats"] = r"""

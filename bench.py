@@ -124,6 +124,19 @@ def main() -> None:
     opairs = set(zip(oracle.query_id, oracle.item_id))
     gpairs = set(zip(got.query_id, got.item_id))
     counters["ann_recall_pct"] = round(100.0 * len(opairs & gpairs) / max(1, len(opairs)), 2)
+    # approximate-path recall, driver-visible (VERDICT r3 #8): both are
+    # self-searches excluding self-pairs, so the exact blocked result above
+    # is the reference set on the same 100-query sample
+    dim = len(emb.select("embedding").first()[0])
+    for name, adf in [
+        ("lsh", ann.lsh_cosine_topk(emb, dim=dim, k=10)),
+        ("ivf", ann.ivf_cosine_topk(emb, k=10)),
+    ]:
+        ap = adf.where(F.col("query_id") < 100).toPandas()
+        apairs = set(zip(ap.query_id, ap.item_id))
+        counters[f"ann_recall_{name}_pct"] = round(
+            100.0 * len(gpairs & apairs) / max(1, len(gpairs)), 2
+        )
     timed(
         "text_stats",
         lambda: text_stats.fingerprint(

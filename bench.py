@@ -137,6 +137,31 @@ def main() -> None:
         counters[f"ann_recall_{name}_pct"] = round(
             100.0 * len(gpairs & apairs) / max(1, len(gpairs)), 2
         )
+    # the driver's embeddings are i.i.d. uniform — sign-LSH's documented
+    # worst case (no cluster structure).  Also report recall on a
+    # deterministic CLUSTERED set, the realistic near-dup regime:
+    import numpy as np
+
+    rng = np.random.RandomState(0xC10C)
+    cents = rng.normal(size=(100, 64))
+    cvecs = np.repeat(cents, 20, axis=0) + 0.15 * rng.normal(size=(2000, 64))
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(cvecs)],
+        "vec_id long, embedding array<double>",
+    ).persist()
+    cdf.count()
+    cexact = ann.cosine_topk_blocked(cdf, k=10).where(F.col("query_id") < 100).toPandas()
+    clsh = (
+        ann.lsh_cosine_topk(cdf, dim=64, k=10)
+        .where(F.col("query_id") < 100)
+        .toPandas()
+    )
+    ce = set(zip(cexact.query_id, cexact.item_id))
+    cl = set(zip(clsh.query_id, clsh.item_id))
+    counters["ann_recall_lsh_clustered_pct"] = round(
+        100.0 * len(ce & cl) / max(1, len(ce)), 2
+    )
+    cdf.unpersist()
     timed(
         "text_stats",
         lambda: text_stats.fingerprint(

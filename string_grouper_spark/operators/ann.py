@@ -375,6 +375,7 @@ def lsh_cosine_topk(
     planes_per_table: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Approximate self top-k via sign-LSH bucketing + exact re-score.
 
@@ -383,10 +384,24 @@ def lsh_cosine_topk(
     row-blocked BLAS matmul and emits local top-k triples, and one slim
     dedup + window finishes — no interpreted per-pair lambdas and no pair
     join shipping dim-length arrays.
+
+    Scale knobs: a bucket is scored in ONE task, so its members must fit
+    one executor (O(m * dim) doubles + a row_block * m score slab).  Size
+    ``planes_per_table`` ~ log2(n / target_bucket_size) so expected
+    buckets stay small; ``max_bucket_size`` additionally DROPS over-cap
+    buckets via a count-agg + broadcast anti-join (the text path's
+    ``capped_buckets`` — the bucket is never materialized).  Dropping a
+    megabucket is standard LSH practice (it is the low-selectivity
+    noise bucket), but it is a recall trade — leave None to keep every
+    bucket and rely on plane sizing.
     """
     bucketed = _sign_lsh_buckets(
         items, dim, num_tables, planes_per_table, id_col, vec_col
     )
+    if max_bucket_size is not None:
+        from .candidates import capped_buckets
+
+        bucketed = capped_buckets(bucketed, max_bucket_size, ("tbl", "key"))
     return _finalize_topk(_bucket_local_topk(bucketed, ["tbl", "key"], int(k)), int(k))
 
 
@@ -426,8 +441,13 @@ def ivf_cosine_topk(
     vec_col: str = "embedding",
     train_sample: int = 20_000,
     seed: int = 0xC3A7,
+    max_cell_size: Optional[int] = None,
 ) -> DataFrame:
     """Approximate self top-k via IVF (inverted-file) bucketing.
+
+    A cell is scored in one task (see ``lsh_cosine_topk`` scale notes):
+    size ``n_centroids`` ~ n / target_cell_size; ``max_cell_size``
+    optionally drops over-cap cells via count-agg + anti-join.
 
     Train: spherical k-means centroids on a bounded driver sample.  Assign:
     every vector joins its ``nprobe`` nearest centroid cells (multi-probe on
@@ -484,6 +504,10 @@ def ivf_cosine_topk(
             )
 
     assigned = raw.mapInPandas(assign, assign_schema)
+    if max_cell_size is not None:
+        from .candidates import capped_buckets
+
+        assigned = capped_buckets(assigned, max_cell_size, ("cell",))
     return _finalize_topk(_bucket_local_topk(assigned, ["cell"], int(k)), int(k))
 
 
@@ -497,6 +521,7 @@ def embedding_near_dup_pairs(
     num_tables: int = 8,
     planes_per_table: int = 8,
     round_digits: Optional[int] = None,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (left_id < right_id, cos).
 
@@ -523,6 +548,10 @@ def embedding_near_dup_pairs(
         bucketed = _sign_lsh_buckets(
             items, dim, num_tables, planes_per_table, id_col, vec_col
         )
+        if max_bucket_size is not None:
+            from .candidates import capped_buckets
+
+            bucketed = capped_buckets(bucketed, max_bucket_size, ("tbl", "key"))
         # per-bucket BLAS kernel, thresholded INSIDE the kernel (with a
         # half-ulp-of-the-rounding margin so the final rounded comparison
         # decides the boundary), ordered pairs i<j — no pair join, no

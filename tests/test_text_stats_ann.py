@@ -113,6 +113,24 @@ def embeddings(spark):
     return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
 
 
+def test_lsh_topk_bucket_cap(spark, embeddings):
+    # the megabucket guard: a generous cap is a no-op; cap=1 drops every
+    # >=2-member bucket (1-member buckets emit nothing), so output is empty
+    from string_grouper_spark.operators import ann
+
+    dim = len(embeddings.select("embedding").first()[0])
+    base = ann.lsh_cosine_topk(embeddings, dim=dim, k=5).toPandas()
+    nocap = ann.lsh_cosine_topk(
+        embeddings, dim=dim, k=5, max_bucket_size=10**9
+    ).toPandas()
+    key = lambda d: sorted(zip(d.query_id, d.item_id))
+    assert key(base) == key(nocap)
+    assert (
+        ann.lsh_cosine_topk(embeddings, dim=dim, k=5, max_bucket_size=1).count()
+        == 0
+    )
+
+
 def test_bruteforce_topk_matches_numpy(spark, embeddings):
     k = 5
     got = ann.cosine_topk_bruteforce(embeddings, k=k).toPandas()

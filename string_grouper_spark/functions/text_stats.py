@@ -118,7 +118,11 @@ def fingerprint(
     window hash functions, so fingerprint VALUES differ between engines;
     the induced duplicate partition agrees wherever equal-fingerprint docs
     share their minimal window (always true for exact duplicates), which a
-    test pins on the testdata corpus.
+    test pins on the testdata corpus.  Empty (non-null) text gets a real
+    value under both engines, so empty docs still group as exact
+    duplicates; NULL text is NULL under 'fast' (absent data should not
+    equi-join) while 'catalyst' inherits xxhash64's hash-the-seed
+    behavior — a deliberate structural difference.
     """
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     if engine == "catalyst":
@@ -140,6 +144,16 @@ def fingerprint(
 
     from ..operators.candidates import _roll_hash_windows
 
+    from ..operators.candidates import _splitmix64
+
+    # fingerprint of the EMPTY string: the k=0 polynomial hash (0),
+    # splitmix64-finalized — a real value, so empty docs still equi-join
+    # into an exact-duplicate group exactly like the catalyst engine's
+    # xxhash64('').  Only NULL text yields NULL.
+    empty_fp = int(
+        _splitmix64(np.zeros(1, dtype=np.uint64))[0].astype(np.int64)
+    )
+
     # no type annotations: the module uses PEP-563 string annotations and
     # pd is function-local, so pyspark's hint resolver would fail on them
     @pandas_udf(returnType=LongType(), functionType=None)
@@ -148,13 +162,16 @@ def fingerprint(
         with np.errstate(over="ignore"):
             for s in norms:
                 if s is None:
-                    out.append(None)  # null in -> null out, like xxhash64
+                    out.append(None)  # NULL text -> NULL fingerprint
+                    continue
+                if not s:
+                    out.append(empty_fp)
                     continue
                 # short strings fall back to one whole-string window, the
                 # same fallback shape as the catalyst form
                 kk = min(k, max(1, len(s.encode("utf-8"))))
                 v = _roll_hash_windows(s, kk)
-                out.append(None if v is None or not len(v) else int(v.min()))
+                out.append(empty_fp if v is None or not len(v) else int(v.min()))
         return pd.Series(out, dtype="object")
 
     return df.withColumn(out_col, min_window_hash(norm))

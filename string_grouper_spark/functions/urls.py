@@ -115,18 +115,21 @@ def url_dedup(
     )
     # min_by: the payload row is the VALUE, never part of the comparator —
     # unorderable payload types (map columns, common in WARC metadata) would
-    # fail analysis inside a min(struct(...)) ordering.  _mid (projected
-    # BEFORE the agg: nondeterministic expressions are rejected inside
-    # aggregate arguments) makes the key unique, so ties on (ts, url) —
-    # duplicate rows differing only in payload — still have a well-defined
-    # winner within a run.
+    # fail analysis inside a min(struct(...)) ordering.  The mono-id column
+    # (projected BEFORE the agg: nondeterministic expressions are rejected
+    # inside aggregate arguments; named to never shadow a payload column)
+    # makes the key unique, so ties on (ts, url) — duplicate rows differing
+    # only in payload — still have a well-defined winner within a run.
+    mid = "_sgus_mid"
+    while mid in cols:
+        mid += "_"
     key = F.struct(
-        ts_ord.alias("_ord"), F.col(url_col).alias("_u"), F.col("_mid")
+        ts_ord.alias("_ord"), F.col(url_col).alias("_u"), F.col(mid)
     )
     pick = F.min_by(F.struct(*[F.col(c) for c in cols]), key).alias("_row")
     return (
         pages.select(canonical_url(url_col).alias("canonical_url"), "*")
-        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn(mid, F.monotonically_increasing_id())
         .groupBy("canonical_url")
         .agg(pick)
         .select("canonical_url", *[F.col(f"_row.{c}").alias(c) for c in cols])

@@ -233,35 +233,39 @@ def _hyperplanes(dim: int, num_planes: int, seed: int = 0x9E3D) -> np.ndarray:
     return rng.normal(size=(num_planes, dim)).astype(float)
 
 
-def _bucket_local_topk(
-    assigned: DataFrame, group_keys: list, kk: int, row_block: int = 1024
+def _bucket_blas_pairs(
+    assigned: DataFrame,
+    group_keys: list,
+    schema: StructType,
+    names: tuple,
+    mask_fn,
+    row_block: int = 1024,
 ) -> DataFrame:
-    """Score bucketmates INSIDE each bucket: one ``applyInPandas`` kernel
-    per bucket runs a row-blocked BLAS matmul over the bucket's unit
-    vectors and emits only each query's LOCAL top-k (candidates tied at
-    the k-th value included).  Local top-k is lossless for the global
-    top-k over the candidate set — if x ranks below k-th for q inside a
-    shared bucket, the k better bucketmates are also global candidates, so
-    x can never enter q's global top-k (same argument as
-    ``_blocked_topk_one_chunk``).
+    """Shared per-bucket BLAS kernel: one ``applyInPandas`` group per
+    bucket, one row-blocked matmul over the bucket's unit vectors, rows
+    selected by ``mask_fn(S, ids, s, e)`` (which may write -inf into S to
+    exclude entries).  Emits (names[0]=row id, names[1]=col id,
+    names[2]=score) triples — the top-k and threshold paths differ ONLY in
+    their mask, so they share all scaffolding.
 
     This replaces the bucket self-JOIN + per-pair re-score, which shipped
     two dim-length arrays through the shuffle for EVERY candidate pair
     (O(candidates * dim) bytes, the measured bottleneck); here the shuffle
-    is one slim (keys, id, unit) row per assignment in and O(m * k)
-    triples out.  Memory per task is O(m * dim + row_block * m) for an
-    m-row bucket — ``planes_per_table`` / ``n_centroids`` bound expected m,
-    and ``row_block`` bounds the score matrix.
+    is one slim (keys, id, unit) row per assignment in and slim triples
+    out.  Memory per task is O(m * dim + row_block * m) for an m-row
+    bucket — bucket-count knobs bound expected m, ``row_block`` bounds the
+    score slab, and the callers' ``max_bucket_size`` caps the tail.
     """
+    a_name, b_name, c_name = names
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         if n < 2:
             return pd.DataFrame(
                 {
-                    "query_id": pd.Series([], dtype=np.int64),
-                    "item_id": pd.Series([], dtype=np.int64),
-                    "cos": pd.Series([], dtype=np.float64),
+                    a_name: pd.Series([], dtype=np.int64),
+                    b_name: pd.Series([], dtype=np.int64),
+                    c_name: pd.Series([], dtype=np.float64),
                 }
             )
         ids = pdf["_id"].to_numpy(dtype=np.int64)
@@ -270,26 +274,48 @@ def _bucket_local_topk(
         for s in range(0, n, row_block):
             e = min(s + row_block, n)
             S = U[s:e] @ U.T
-            S[np.arange(e - s), np.arange(s, e)] = -np.inf  # self-pairs
-            if n > kk:
-                kth = np.partition(S, n - kk, axis=1)[:, n - kk]
-                mask = (S >= kth[:, None]) & np.isfinite(S)
-            else:
-                mask = np.isfinite(S)
-            r, c = np.nonzero(mask)
+            r, c = np.nonzero(mask_fn(S, ids, s, e))
             outs.append(
-                pd.DataFrame(
-                    {"query_id": ids[s + r], "item_id": ids[c], "cos": S[r, c]}
-                )
+                pd.DataFrame({a_name: ids[s + r], b_name: ids[c], c_name: S[r, c]})
             )
         return pd.concat(outs, ignore_index=True)
 
-    return assigned.groupBy(*group_keys).applyInPandas(score, _TOPK_SCHEMA)
+    return assigned.groupBy(*group_keys).applyInPandas(score, schema)
+
+
+def _bucket_local_topk(
+    assigned: DataFrame, group_keys: list, kk: int, row_block: int = 1024
+) -> DataFrame:
+    """Per-bucket LOCAL top-k (candidates tied at the k-th value
+    included).  Local top-k is lossless for the global top-k over the
+    candidate set — if x ranks below k-th for q inside a shared bucket,
+    the k better bucketmates are also global candidates, so x can never
+    enter q's global top-k (same argument as ``_blocked_topk_one_chunk``).
+
+    Self-pairs are excluded BY ID (not by matrix position), so inputs
+    carrying duplicate ids never emit (q, q) rows — matching the exact
+    blocked path's ``ids == q_ids`` mask and the old join's
+    ``query_id != item_id`` filter.
+    """
+
+    def topk_mask(S, ids, s, e):
+        S[ids[s:e, None] == ids[None, :]] = -np.inf
+        n = S.shape[1]
+        if n > kk:
+            kth = np.partition(S, n - kk, axis=1)[:, n - kk]
+            return (S >= kth[:, None]) & np.isfinite(S)
+        return np.isfinite(S)
+
+    return _bucket_blas_pairs(
+        assigned, group_keys, _TOPK_SCHEMA,
+        ("query_id", "item_id", "cos"), topk_mask, row_block,
+    )
 
 
 def _finalize_topk(cand: DataFrame, kk: int) -> DataFrame:
     """Global top-k over bucket candidates: duplicates from multiple shared
-    buckets carry bitwise-identical cos (same BLAS on the same rows), so a
+    buckets score the same pair (at most an ulp apart across BLAS block
+    shapes — immaterial to ranking), and the dedup keys on ids only, so a
     slim (q, i, cos)-triple dedup + one window finishes the query."""
     dedup = cand.dropDuplicates(["query_id", "item_id"])
     w = Window.partitionBy("query_id").orderBy(
@@ -552,8 +578,8 @@ def embedding_near_dup_pairs(
             from .candidates import capped_buckets
 
             bucketed = capped_buckets(bucketed, max_bucket_size, ("tbl", "key"))
-        # per-bucket BLAS kernel, thresholded INSIDE the kernel (with a
-        # half-ulp-of-the-rounding margin so the final rounded comparison
+        # shared per-bucket BLAS kernel, thresholded INSIDE the mask (with
+        # a half-ulp-of-the-rounding margin so the final rounded comparison
         # decides the boundary), ordered pairs i<j — no pair join, no
         # dim-length arrays in the shuffle
         margin = 0.5 * 10.0 ** (-round_digits) if round_digits is not None else 0.0
@@ -566,36 +592,13 @@ def embedding_near_dup_pairs(
             ]
         )
 
-        def score(pdf: pd.DataFrame) -> pd.DataFrame:
-            n = len(pdf)
-            if n < 2:
-                return pd.DataFrame(
-                    {
-                        "left_id": pd.Series([], dtype=np.int64),
-                        "right_id": pd.Series([], dtype=np.int64),
-                        "_cos": pd.Series([], dtype=np.float64),
-                    }
-                )
-            ids = pdf["_id"].to_numpy(dtype=np.int64)
-            U = np.stack(pdf["unit"].to_numpy())
-            outs = []
-            for s in range(0, n, 1024):
-                e = min(s + 1024, n)
-                S = U[s:e] @ U.T
-                mask = (S >= cut) & (ids[s:e, None] < ids[None, :])
-                r, c = np.nonzero(mask)
-                outs.append(
-                    pd.DataFrame(
-                        {"left_id": ids[s + r], "right_id": ids[c], "_cos": S[r, c]}
-                    )
-                )
-            return pd.concat(outs, ignore_index=True)
+        def threshold_mask(S, ids, s, e):
+            return (S >= cut) & (ids[s:e, None] < ids[None, :])
 
-        cand = (
-            bucketed.groupBy("tbl", "key")
-            .applyInPandas(score, pair_schema)
-            .dropDuplicates(["left_id", "right_id"])
-        )
+        cand = _bucket_blas_pairs(
+            bucketed, ["tbl", "key"], pair_schema,
+            ("left_id", "right_id", "_cos"), threshold_mask,
+        ).dropDuplicates(["left_id", "right_id"])
         cos = F.col("_cos")
     else:
         raise ValueError(method)

@@ -259,9 +259,19 @@ def compact_incremental_matches(
     """
     from ..operators.grouping import connected_components
 
+    from pyspark.errors import AnalysisException
+
     try:
         matches = spark.read.parquet(sink_path)
-    except Exception:  # no files yet: foreachBatch only appends non-empty
+    except AnalysisException as e:
+        # ONLY the genuinely-missing sink degrades (foreachBatch appends
+        # nothing until the first non-empty batch matches); any other read
+        # failure — permissions, corrupt footers, schema problems — must
+        # surface, or a transient FS error silently labels the whole
+        # corpus duplicate-free
+        if "PATH_NOT_FOUND" not in str(getattr(e, "getErrorClass", lambda: "")()) \
+                and "PATH_NOT_FOUND" not in str(e):
+            raise
         matches = None
     nd = nodes.select(F.col(id_col).cast("long").alias(id_col))
     if matches is None:

@@ -268,6 +268,24 @@ def test_compaction_empty_sink_is_singletons(spark, tmp_path):
     assert dict(zip(out.doc_id, out.component)) == {i: i for i in range(5)}
 
 
+def test_compaction_raises_on_unreadable_sink(spark, tmp_path):
+    # ONLY a missing sink may degrade to singletons; a sink that EXISTS but
+    # cannot be read as parquet must raise, never silently label the corpus
+    # duplicate-free
+    import pytest
+
+    bad = tmp_path / "bad_sink"
+    bad.mkdir()
+    (bad / "garbage.parquet").write_text("this is not parquet")
+    from string_grouper_spark.streaming.dedup_stream import (
+        compact_incremental_matches,
+    )
+
+    nodes = spark.range(3).select(F.col("id").alias("doc_id"))
+    with pytest.raises(Exception):
+        compact_incremental_matches(spark, str(bad), nodes).collect()
+
+
 def test_streaming_url_dedup(spark, tmp_path):
     # canonical_url is pure Catalyst -> runs inside Structured Streaming;
     # scheme-case/tracking-param variants of the same page collapse to one

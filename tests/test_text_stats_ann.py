@@ -113,6 +113,31 @@ def embeddings(spark):
     return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
 
 
+def test_fingerprint_empty_and_null_text(spark):
+    # empty docs must carry a REAL fingerprint (they are exact duplicates
+    # of each other and must equi-join); only NULL text is NULL
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": ["", "", "a b", None]})
+    out = (
+        text_stats.fingerprint(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")["fingerprint"]
+    )
+    assert out.loc[0] is not None and out.loc[0] == out.loc[1]
+    assert out.loc[2] != out.loc[0]
+    assert pd.isna(out.loc[3])
+
+
+def test_lsh_topk_duplicate_ids_no_self_pairs(spark):
+    # the same vec_id on two rows must not emit (q, q) — self-pairs are
+    # excluded by ID, matching the exact blocked path and the old join
+    from string_grouper_spark.operators import ann
+
+    rows = [(i % 4, [float((i * 3 + j) % 5) for j in range(8)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ann.lsh_cosine_topk(df, dim=8, k=5, num_tables=4, planes_per_table=2).toPandas()
+    assert not (out.query_id == out.item_id).any()
+
+
 def test_lsh_topk_bucket_cap(spark, embeddings):
     # the megabucket guard: a generous cap is a no-op; cap=1 drops every
     # >=2-member bucket (1-member buckets emit nothing), so output is empty

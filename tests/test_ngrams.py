@@ -86,3 +86,49 @@ def test_normalize_parity_property(spark, batch):
     )
     want = [py_normalize(s, cfg) for s in batch]
     assert got == want, (batch, got, want)
+
+
+# Pure-python property pins for the two round-4 exact-equivalence claims:
+# the prefix-sum rolling hash vs the direct window formulation, and the
+# translate deletion table vs re.sub on the default strip regex.
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(s=_WEBTEXT, k=st.integers(min_value=1, max_value=12))
+def test_roll_hash_prefix_form_matches_direct(s, k):
+    import numpy as np
+
+    from string_grouper_spark.operators.candidates import (
+        _roll_hash_windows,
+        _splitmix64,
+    )
+
+    def direct(norm, kk):
+        b = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8)
+        if len(b) < kk:
+            return None
+        w = np.lib.stride_tricks.sliding_window_view(b, kk).astype(np.uint64)
+        powers = np.empty(kk, dtype=np.uint64)
+        powers[0] = 1
+        for i in range(1, kk):
+            powers[i] = powers[i - 1] * np.uint64(0x100000001B3)
+        h = (w * powers[::-1][None, :]).sum(axis=1, dtype=np.uint64)
+        return _splitmix64(h).astype(np.int64)
+
+    with np.errstate(over="ignore"):
+        a, b = _roll_hash_windows(s, k), direct(s, k)
+    assert (a is None) == (b is None)
+    if a is not None:
+        assert np.array_equal(a, b), (s, k)
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(s=_WEBTEXT)
+def test_translate_table_matches_re_sub(s):
+    import re
+
+    from string_grouper_spark.functions.normalize import (
+        _DEFAULT_STRIP_RE,
+        _DEFAULT_STRIP_TABLE,
+    )
+
+    assert s.translate(_DEFAULT_STRIP_TABLE) == re.sub(_DEFAULT_STRIP_RE, "", s)

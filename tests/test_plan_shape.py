@@ -154,3 +154,27 @@ def test_group_rep_selection_has_no_window(spark, docs):
     nodes = docs.limit(3).select("doc_id")
     plan = plan_of(group_labels(edges, nodes, cfg))
     assert "Window" not in plan, plan
+
+
+def test_bucketed_ann_scores_inside_buckets(spark):
+    # the r4 kernel shape: candidates are scored INSIDE each bucket
+    # (FlatMapGroupsInPandas), never via a bucket self-join that ships
+    # dim-length unit arrays per candidate pair, and the final top-k window
+    # sees only slim (q, i, cos) triples
+    from string_grouper_spark.operators.ann import (
+        ivf_cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    for out in (
+        lsh_cosine_topk(emb, dim=dim, k=3),
+        ivf_cosine_topk(emb, k=3, n_centroids=16),
+    ):
+        plan = plan_of(out)
+        assert "FlatMapGroupsInPandas" in plan, plan
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+        # per-plane interpreted scoring would show as aggregate lambdas on
+        # the unit arrays; the only python stages are the two Arrow passes
+        assert "zip_with" not in plan and "aggregate(" not in plan, plan

@@ -140,6 +140,20 @@ def q_ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "item_id", F.round("cos", 4).alias("cos_r"))
 
 
+def q_ann_topk_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CHUNKED branch of the blocked kNN (query side split into
+    hash-disjoint chunks, one bounded broadcast+matmul job each) forced by
+    a tiny max_query_rows — must hash-match the same SQL oracle as the
+    unchunked path, since each query lives in exactly one chunk."""
+    from string_grouper_spark.operators.ann import cosine_topk_blocked
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_topk_blocked(
+        emb, emb.where(F.col("vec_id") < 100), k=3, max_query_rows=30
+    )
+    return out.select("query_id", "item_id", F.round("cos", 4).alias("cos_r"))
+
+
 def q_most_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/D2: per-duplicate argmax join (masters: doc_id<250, dupes: >=250).
 
@@ -409,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_match": q_incremental_match,
         "frozen_match": q_frozen_match,
         "ann_topk_blocked": q_ann_topk_blocked,
+        "ann_topk_chunked": q_ann_topk_chunked,
         "most_similar": q_most_similar,
         "pairwise": q_pairwise,
         "exact_dedup": q_exact_dedup,
@@ -837,8 +852,10 @@ SELECT query_id, item_id, round(cos, 4) AS cos_r FROM scored WHERE rn <= 3
 """
 
 _ORACLES["ann_topk"] = _ANN_TOPK_SQL
-# the blocked-matmul SCALE path is exact by construction — same oracle
+# the blocked-matmul SCALE path is exact by construction — same oracle;
+# ditto its chunked branch (hash-disjoint chunks partition the query set)
 _ORACLES["ann_topk_blocked"] = _ANN_TOPK_SQL
+_ORACLES["ann_topk_chunked"] = _ANN_TOPK_SQL
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,168 @@
+"""Real pure-python/numpy media codecs (functions/codecs.py): exact
+round-trips, filter reconstruction against hand-forward-filtered PNG
+streams, magic-byte dispatch, and the Spark featurizer end-to-end on REAL
+payloads."""
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from string_grouper_spark.functions import codecs
+
+
+def _img(h, w, ch=3, seed=7):
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    return rng.randint(0, 256, size=shape).astype(np.uint8)
+
+
+def test_ppm_pgm_roundtrip_exact():
+    rgb = _img(11, 7)
+    assert np.array_equal(codecs.decode_ppm(codecs.encode_ppm(rgb)), rgb)
+    gray = _img(5, 9, ch=1)
+    assert np.array_equal(codecs.decode_ppm(codecs.encode_ppm(gray)), gray)
+
+
+def test_ppm_header_comments_and_whitespace():
+    rgb = _img(2, 3)
+    raw = b"P6\n# a comment\n 3 \t2\n# more\n255\n" + rgb.tobytes()
+    assert np.array_equal(codecs.decode_ppm(raw), rgb)
+
+
+def test_bmp_roundtrip_exact_with_row_padding():
+    # width 5 -> 15-byte rows padded to 16: the stride math must hold
+    rgb = _img(4, 5, seed=13)
+    assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(rgb)), rgb)
+
+
+def test_png_roundtrip_exact_all_colortypes():
+    for ch in (1, 3, 4):
+        img = _img(6, 5, ch=ch, seed=ch)
+        got = codecs.decode_png(codecs.encode_png(img))
+        assert np.array_equal(got, img), f"ch={ch}"
+
+
+def _forward_filter(img, ftype):
+    """Apply a PNG filter FORWARD (encoder side) so decode must invert it."""
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int32)
+    out = np.zeros((h, stride + 1), dtype=np.uint8)
+    for y in range(h):
+        out[y, 0] = ftype
+        for x in range(stride):
+            a = int(flat[y, x - ch]) if x >= ch else 0
+            b = int(flat[y - 1, x]) if y else 0
+            c = int(flat[y - 1, x - ch]) if (y and x >= ch) else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[y, x + 1] = (int(flat[y, x]) - pred) & 0xFF
+    return out
+
+
+def test_png_decodes_every_filter_type():
+    img = _img(5, 4, seed=3)
+    for ftype in range(5):
+        scan = _forward_filter(img, ftype)
+        ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0)
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+            + chunk(b"IEND", b"")
+        )
+        got = codecs.decode_png(payload)
+        assert np.array_equal(got, img), f"filter {ftype}"
+
+
+def test_wav_roundtrip_mono_stereo_8bit():
+    rng = np.random.RandomState(5)
+    mono = rng.randint(-32768, 32767, size=400).astype(np.int16)
+    arr, rate = codecs.decode_wav(codecs.encode_wav(mono, 16_000))
+    assert rate == 16_000 and np.array_equal(arr, mono)
+    stereo = rng.randint(-32768, 32767, size=(200, 2)).astype(np.int16)
+    arr2, _ = codecs.decode_wav(codecs.encode_wav(stereo, 8_000))
+    assert np.array_equal(arr2, stereo)
+    byte = rng.randint(0, 256, size=100).astype(np.uint8)
+    arr3, _ = codecs.decode_wav(codecs.encode_wav(byte, 8_000))
+    assert np.array_equal(arr3, byte)
+
+
+def test_sniff_dispatch_and_honest_failures():
+    rgb = _img(3, 3)
+    assert np.array_equal(codecs.sniff_and_decode_image(codecs.encode_png(rgb)), rgb)
+    assert np.array_equal(codecs.sniff_and_decode_image(codecs.encode_ppm(rgb)), rgb)
+    assert np.array_equal(codecs.sniff_and_decode_image(codecs.encode_bmp(rgb)), rgb)
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        codecs.sniff_and_decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+    with pytest.raises(ValueError):
+        codecs.sniff_and_decode_image(b"not an image at all")
+
+
+def test_resize_nearest():
+    img = _img(8, 8)
+    small = codecs.resize_nearest(img, 4, 4)
+    assert small.shape == (4, 4, 3)
+    assert np.array_equal(small, img[::2, ::2])
+
+
+def test_extract_features_on_real_payloads(spark):
+    # end-to-end: REAL encoded payloads through the Spark featurizer
+    # (BinaryType payload column, fake=False), deterministic output
+    from string_grouper_spark.operators.multimodal import extract_features
+
+    png = codecs.encode_png(_img(8, 8, seed=1))
+    bmp = codecs.encode_bmp(_img(8, 6, seed=2))
+    wav = codecs.encode_wav(
+        np.random.RandomState(3).randint(-32768, 32767, size=500).astype(np.int16),
+        16_000,
+    )
+    pdf = pd.DataFrame(
+        {
+            "media_id": [0, 1, 2],
+            "kind": ["image", "image", "audio"],
+            "payload": [png, bmp, wav],
+            "width": [8, 6, None],
+            "height": [8, 8, None],
+            "sample_rate": [None, None, 16_000],
+            "n_frames": [None, None, None],
+        }
+    )
+    schema = (
+        "media_id long, kind string, payload binary, width int, "
+        "height int, sample_rate int, n_frames int"
+    )
+    media = spark.createDataFrame(pdf, schema)
+    out1 = extract_features(media, fake=False).toPandas().sort_values("media_id")
+    out2 = extract_features(media, fake=False).toPandas().sort_values("media_id")
+    assert out1["feat_dim"].tolist() == [16, 16, 16]
+    assert all(len(f) == 16 for f in out1["feature"])
+    for a, b in zip(out1["feature"], out2["feature"]):
+        assert list(a) == list(b)
+    # histograms are probability masses over real pixel/sample bytes
+    assert all(abs(sum(f) - 1.0) < 1e-5 for f in out1["feature"])
+
+    # a video row without fake=True must surface the honest stub error
+    vid = media.withColumn("kind", __import__("pyspark").sql.functions.lit("video"))
+    with pytest.raises(Exception, match="video containers"):
+        extract_features(vid, fake=False).collect()

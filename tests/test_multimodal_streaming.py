@@ -36,8 +36,19 @@ def test_feature_extraction_shape_and_determinism(spark, media):
     assert all(abs(sum(f) - 1.0) < 1e-5 for f in out["feature"])
 
 
-def test_real_decode_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_real_decode_dispatch_contract():
+    # round 4: PNG/PPM/BMP decode for REAL (tests/test_codecs.py); only
+    # formats genuinely needing external codecs stay stubbed
+    import numpy as np
+
+    from string_grouper_spark.functions.codecs import encode_ppm
+
+    img = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    got = multimodal.decode_image(encode_ppm(img), 3, 3, fake=False)
+    assert np.array_equal(got, img)
+    with pytest.raises(NotImplementedError):  # JPEG needs a real codec lib
+        multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg", 8, 8, fake=False)
+    with pytest.raises(ValueError):  # garbage is a loud error, not a stub
         multimodal.decode_image(b"x", 8, 8, fake=False)
 
 

@@ -86,6 +86,23 @@ def q_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "component")
 
 
+def q_lsh_dedup_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship with WORD-5-gram shingles — the published long-document
+    MinHash configuration (Gopher/RefinedWeb practice; char 3-grams flood
+    LSH buckets on long webtext).  Shingles are DISTINCT (tf=1) blake2b-64
+    codes of 5-word windows over lower + [,-./]->space text
+    (plans/fast_dedup._word_shingle_codes), so the similarity is mirrorable
+    in SQL without the hash: cosine over idf-weighted distinct shingles."""
+    from string_grouper_spark.plans.fast_dedup import fast_lsh_dedup
+
+    docs = _docs(spark, sf_dir)
+    out = fast_lsh_dedup(
+        docs, _cfg(0.5), num_perm=128, num_bands=64, max_bucket_size=None,
+        shingle="word",
+    )
+    return out.select("doc_id", "component")
+
+
 def q_incremental_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup (bipartite flagship): NEW batch (doc_id >= 250)
     matched against the EXISTING corpus (doc_id < 250) via
@@ -420,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components": q_components,
         "groups_centroid": q_groups_centroid,
         "lsh_dedup": q_lsh_dedup,
+        "lsh_dedup_word": q_lsh_dedup_word,
         "incremental_match": q_incremental_match,
         "frozen_match": q_frozen_match,
         "ann_topk_blocked": q_ann_topk_blocked,
@@ -508,6 +526,52 @@ _ORACLES["components"] = (
 # The flagship LSH pipeline must reproduce the exact all-pairs closure —
 # same oracle as `components` (candidate recall 1.0 at the chosen banding).
 _ORACLES["lsh_dedup"] = _ORACLES["components"]
+
+# Word-shingle flagship: distinct (tf=1) word-5-gram shingles over
+# lower + [,-./]->space text; similarity is hash-independent, so the SQL
+# builds the shingle STRINGS and runs the same idf/L2/closure pipeline.
+_ORACLES["lsh_dedup_word"] = r"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+           regexp_replace(lower(text), '[,\-./]', ' ', 'g'), '\s+'),
+           w -> w <> '') AS ws
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(ws) >= 5 THEN array_to_string(ws[i:i+4], ' ')
+              ELSE array_to_string(ws, ' ') END AS sh
+  FROM docs, LATERAL (
+    SELECT unnest(generate_series(
+      1, CASE WHEN len(ws) >= 5 THEN len(ws)-4 ELSE 1 END)) AS i) t
+  WHERE len(ws) > 0
+),
+dfreq AS (SELECT sh, count(DISTINCT doc_id)::DOUBLE AS df FROM shingles GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM docs),
+w AS (
+  SELECT s.doc_id, s.sh, (ln((1+n.n)/(1+dfreq.df))+1) AS w
+  FROM shingles s JOIN dfreq USING (sh) CROSS JOIN n
+),
+l2 AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY 1),
+p AS (SELECT w.doc_id, w.sh, w.w/l2.nrm AS wn FROM w JOIN l2 USING (doc_id)),
+simpairs AS (
+  SELECT a.doc_id AS l, b.doc_id AS r, sum(a.wn*b.wn) AS s
+  FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING sum(a.wn*b.wn) >= 0.5
+), sym AS (
+  SELECT l AS u, r AS v FROM simpairs UNION ALL SELECT r, l FROM simpairs
+), closure AS (
+  WITH RECURSIVE reach(src, dst) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT reach.src, sym.v FROM reach JOIN sym ON reach.dst = sym.u
+  ) SELECT * FROM reach
+)
+SELECT d.doc_id, least(d.doc_id, coalesce(min(c.dst), d.doc_id)) AS component
+FROM docs d LEFT JOIN closure c ON c.src = d.doc_id
+GROUP BY d.doc_id
+"""
 
 # The bipartite flagship must reproduce the exact two-series join: same
 # TF-IDF prelude restricted to master(<250) x new-batch(>=250) pairs.

@@ -359,6 +359,34 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.array_min(windows).alias("fp_md5"))
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (dup-line fractions + top-bigram
+    share) over multi-line docs synthesized deterministically from each
+    document's words: lines = consecutive 5-word windows (stride 5, full
+    windows only), plus the FIRST line appended again so every doc carries
+    a guaranteed duplicate line on top of any natural repetition.  The
+    oracle rebuilds the identical line/bigram structure in SQL."""
+    from string_grouper_spark.functions.text_stats import repetition_stats
+
+    docs = _docs(spark, sf_dir)
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    nfull = F.floor(F.size(ws) / 5).cast("int")
+    linesarr = F.transform(
+        F.sequence(F.lit(1), nfull),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i - 1) * 5 + j) for j in range(1, 6)]
+        ),
+    )
+    synth = F.array_join(
+        F.concat(linesarr, F.array(F.element_at(linesarr, 1))), "\n"
+    )
+    multi = docs.where(F.size(ws) >= 5).select("doc_id", synth.alias("text"))
+    return repetition_stats(multi).select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "top_bigram_frac",
+    )
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup — the pass a web pipeline runs BEFORE content dedup.
 
@@ -456,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
+        "repetition": q_repetition,
         "url_dedup": q_url_dedup,
         "ann_topk": q_ann_topk,
         "emb_dedup": q_emb_dedup,
@@ -836,6 +865,39 @@ SELECT doc_id,
      FROM unnest(generate_series(1, length(norm.n) - 8)) AS t(i))
   ELSE md5(n) END AS fp_md5
 FROM norm
+"""
+
+_ORACLES["repetition"] = r"""
+WITH ws AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS w
+  FROM documents
+), eligible AS (
+  SELECT doc_id, w, len(w) // 5 AS nfull FROM ws WHERE len(w) >= 5
+), ln AS (
+  SELECT doc_id, array_to_string(w[(i-1)*5+1:(i-1)*5+5], ' ') AS line
+  FROM eligible, LATERAL (SELECT unnest(generate_series(1, nfull)) AS i) t
+), lines AS (
+  SELECT doc_id, line FROM ln
+  UNION ALL
+  SELECT doc_id, array_to_string(w[1:5], ' ') FROM eligible
+), lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+lstat AS (
+  SELECT doc_id, sum(c) AS n_lines, count(*) AS nd,
+         sum((c-1)*length(line)) AS dupch, sum(c*length(line)) AS totch
+  FROM lc GROUP BY 1
+), wsyn AS (
+  SELECT doc_id, list_concat(w[1:nfull*5], w[1:5]) AS v FROM eligible
+), bg AS (
+  SELECT doc_id, v[j] || ' ' || v[j+1] AS bgram
+  FROM wsyn, LATERAL (SELECT unnest(generate_series(1, len(v)-1)) AS j) t
+), bgc AS (SELECT doc_id, bgram, count(*) AS c FROM bg GROUP BY 1, 2),
+bgstat AS (SELECT doc_id, max(c) AS topc, sum(c) AS nbg FROM bgc GROUP BY 1)
+SELECT l.doc_id,
+       n_lines::BIGINT AS n_lines,
+       round((n_lines - nd)::DOUBLE / n_lines, 6) AS dup_line_frac,
+       round(dupch::DOUBLE / totch, 6) AS dup_line_char_frac,
+       round(topc::DOUBLE / nbg, 6) AS top_bigram_frac
+FROM lstat l JOIN bgstat USING (doc_id)
 """
 
 _ORACLES["url_dedup"] = r"""

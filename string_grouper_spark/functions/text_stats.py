@@ -96,6 +96,92 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", F.round(score, 2))
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Gopher-style repetition features per doc (Rae et al. 2021's
+    repetitious-text filters, the standard webtext quality gate):
+
+      * ``n_lines``             — non-empty (post-trim) lines;
+      * ``dup_line_frac``       — fraction of lines that are repeats of
+                                  another line ((n_lines - n_distinct) / n_lines);
+      * ``dup_line_char_frac``  — fraction of line characters inside those
+                                  repeats (extra copies' chars / all chars);
+      * ``top_bigram_frac``     — share of the most frequent word 2-gram
+                                  among all word 2-grams (None if < 2 words).
+
+    Shape: RELATIONAL — lines and bigrams are exploded and counted with
+    groupBy partial aggregations (two narrow explodes + three map-side-
+    combined shuffles), never a per-row distinct x filter array lambda (the
+    O(L^2) interpreted pattern this engine keeps measuring as 10-60x slow).
+    Docs with no non-empty lines are kept with zero counts via the
+    join-back on ``df`` ids.  All fractions round to 6dp so an independent
+    SQL engine hash-matches.
+    """
+    ids = df.select(id_col)
+    lines = df.select(
+        id_col,
+        F.explode(
+            F.filter(
+                F.transform(F.split(F.col(text_col), line_sep), lambda x: F.trim(x)),
+                lambda x: x != "",
+            )
+        ).alias("_line"),
+    )
+    per_line = lines.groupBy(id_col, "_line").agg(F.count(F.lit(1)).alias("_cnt"))
+    line_stats = per_line.groupBy(id_col).agg(
+        F.sum("_cnt").alias("n_lines"),
+        F.count(F.lit(1)).alias("_n_distinct"),
+        F.sum((F.col("_cnt") - 1) * F.length("_line")).alias("_dup_chars"),
+        F.sum(F.col("_cnt") * F.length("_line")).alias("_tot_chars"),
+    )
+
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    bigrams = df.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size(words) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words) - 2),
+                    lambda i: F.concat_ws(" ", words[i], words[i + 1]),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_bg"),
+    )
+    per_bg = bigrams.groupBy(id_col, "_bg").agg(F.count(F.lit(1)).alias("_cnt"))
+    bg_stats = per_bg.groupBy(id_col).agg(
+        F.max("_cnt").alias("_top_bg"), F.sum("_cnt").alias("_n_bg")
+    )
+
+    return (
+        ids.join(line_stats, id_col, "left")
+        .join(bg_stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.round(
+                F.when(
+                    F.col("n_lines") > 0,
+                    (F.col("n_lines") - F.col("_n_distinct")) / F.col("n_lines"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_line_frac"),
+            F.round(
+                F.when(
+                    F.col("_tot_chars") > 0,
+                    F.col("_dup_chars") / F.col("_tot_chars"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_line_char_frac"),
+            F.round(F.col("_top_bg") / F.col("_n_bg"), 6).alias("top_bigram_frac"),
+        )
+    )
+
+
 def fingerprint(
     df: DataFrame,
     text_col: str = "text",

@@ -113,6 +113,36 @@ def embeddings(spark):
     return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
 
 
+def test_repetition_stats_hand_computed(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                # 4 lines, "aa bb" repeated twice (5 dup chars of 14 line
+                # chars); bigrams (newlines are whitespace): aa-bb x2,
+                # bb-cc, cc-aa, bb-dd -> top 2/5
+                "aa bb\ncc\naa bb\ndd",
+                "x y\nz",          # no repeats at all
+                "   \n\n  ",       # only blank lines -> zero counts
+            ],
+        }
+    )
+    out = (
+        text_stats.repetition_stats(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_lines"] == 4
+    assert out.loc[0, "dup_line_frac"] == 0.25          # 4 lines, 3 distinct
+    assert out.loc[0, "dup_line_char_frac"] == round(5 / 14, 6)
+    assert out.loc[0, "top_bigram_frac"] == round(2 / 5, 6)
+    assert out.loc[1, "n_lines"] == 2
+    assert out.loc[1, "dup_line_frac"] == 0.0
+    assert out.loc[1, "dup_line_char_frac"] == 0.0
+    assert out.loc[2, "n_lines"] == 0 and out.loc[2, "dup_line_frac"] == 0.0
+
+
 def test_fingerprint_empty_and_null_text(spark):
     # empty docs must carry a REAL fingerprint (they are exact duplicates
     # of each other and must equi-join); only NULL text is NULL

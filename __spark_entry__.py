@@ -387,6 +387,61 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style CORPUS-level line dedup: lines duplicated across the
+    corpus survive only at their first (doc, position) occurrence.  Docs
+    are synthesized as in `repetition` (5-word lines) plus one constant
+    boilerplate line on EVERY doc — the classic shared-footer case: it must
+    survive exactly once, in the smallest doc.  Near-dup docs also shed
+    their naturally-shared lines.  The oracle rebuilds the same structure
+    and compares md5 of the rebuilt text + kept/dropped counts."""
+    from string_grouper_spark.operators.dedup import corpus_line_dedup
+
+    docs = _docs(spark, sf_dir)
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    nfull = F.floor(F.size(ws) / 5).cast("int")
+    linesarr = F.transform(
+        F.sequence(F.lit(1), nfull),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i - 1) * 5 + j) for j in range(1, 6)]
+        ),
+    )
+    synth = F.array_join(
+        F.concat(F.array(F.lit("=== corpus boilerplate footer ===")), linesarr),
+        "\n",
+    )
+    multi = docs.where(F.size(ws) >= 5).select("doc_id", synth.alias("text"))
+    out = corpus_line_dedup(multi)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_lines_kept",
+        "n_lines_dropped",
+    )
+
+
+def q_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (emails / IPv4 / E.164-ish phones) over documents with
+    deterministically injected PII (built from doc_id so the oracle can
+    rebuild the identical strings); any naturally-occurring match is
+    masked identically on both sides.  Patterns restricted to constructs
+    Java regex and RE2 evaluate identically (functions/pii.py)."""
+    from string_grouper_spark.functions.pii import mask_pii
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@example-"), (d % 7).cast("string"), F.lit(".org"),
+        F.lit(" ip 10.0."), (d % 256).cast("string"), F.lit(".1"),
+        F.lit(" tel +1 555-01"), (d % 90 + 10).cast("string"),
+    )
+    out = mask_pii(docs.select("doc_id", injected.alias("text")))
+    return out.select(
+        "doc_id", F.md5("text_masked").alias("masked_md5"),
+        "n_emails", "n_ipv4", "n_phones",
+    )
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup — the pass a web pipeline runs BEFORE content dedup.
 
@@ -485,6 +540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "repetition": q_repetition,
+        "line_dedup": q_line_dedup,
+        "pii": q_pii,
         "url_dedup": q_url_dedup,
         "ann_topk": q_ann_topk,
         "emb_dedup": q_emb_dedup,
@@ -898,6 +955,56 @@ SELECT l.doc_id,
        round(dupch::DOUBLE / totch, 6) AS dup_line_char_frac,
        round(topc::DOUBLE / nbg, 6) AS top_bigram_frac
 FROM lstat l JOIN bgstat USING (doc_id)
+"""
+
+_ORACLES["line_dedup"] = r"""
+WITH ws AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS w
+  FROM documents
+), eligible AS (
+  SELECT doc_id, w, len(w) // 5 AS nfull FROM ws WHERE len(w) >= 5
+), lines AS (
+  SELECT doc_id, 0 AS pos, '=== corpus boilerplate footer ===' AS line
+  FROM eligible
+  UNION ALL
+  SELECT doc_id, i AS pos, array_to_string(w[(i-1)*5+1:(i-1)*5+5], ' ') AS line
+  FROM eligible, LATERAL (SELECT unnest(generate_series(1, nfull)) AS i) t
+), win AS (
+  SELECT line, min(doc_id) AS wid FROM lines GROUP BY 1
+), win2 AS (
+  SELECT l.line, w.wid, min(l.pos) AS wpos
+  FROM lines l JOIN win w ON l.line = w.line AND l.doc_id = w.wid
+  GROUP BY 1, 2
+), tagged AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (l.doc_id = w.wid AND l.pos = w.wpos) AS keep
+  FROM lines l JOIN win2 w ON l.line = w.line
+)
+SELECT doc_id,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), '')) AS text_md5,
+       count(*) FILTER (WHERE keep) AS n_lines_kept,
+       count(*) FILTER (WHERE NOT keep) AS n_lines_dropped
+FROM tagged GROUP BY doc_id
+"""
+
+_ORACLES["pii"] = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example-' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+              || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+              || ' tel +1 555-01' || CAST(doc_id % 90 + 10 AS VARCHAR) AS t
+  FROM documents
+)
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+\d[\d\- ]{6,}\d', '<PHONE>', 'g')) AS masked_md5,
+       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+       len(regexp_extract_all(t, '\+\d[\d\- ]{6,}\d')) AS n_phones
+FROM injected
 """
 
 _ORACLES["url_dedup"] = r"""

@@ -152,3 +152,64 @@ def components_only(
     return connected_components(
         pairs.select(F.col(LEFT).alias("u"), F.col(RIGHT).alias("v")), nodes
     ).withColumnRenamed(NODE, id_col)
+
+
+def corpus_line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """CORPUS-level line dedup (the C4/CCNet paragraph-granularity pass):
+    every line that occurs more than once ACROSS the whole corpus is kept
+    only at its first occurrence — smallest (doc id, position) — and
+    removed everywhere else; blank (post-trim) lines are dropped outright.
+
+    Returns ``(<id_col>, <text_col>, n_lines_kept, n_lines_dropped)`` with
+    the text rebuilt from the surviving lines in original order.  Docs
+    whose every line was dropped keep a row with empty text, so the output
+    is a full projection of the input corpus.
+
+    Scale shape: posexplode (narrow) -> ONE min-of-struct aggregation per
+    distinct line (map-side partial agg; the winner is just (id, pos), no
+    window over a hot line's occurrence list) -> join back on the line
+    value -> one groupBy(id) rebuild with an array_sort on (pos, line)
+    structs.  A boilerplate line repeated on 10^9 pages is ONE aggregation
+    key whose partial states are a single (id, pos) pair each — skew-safe
+    by construction.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("_pos", "_line"),
+    ).where(F.trim("_line") != "")
+    winners = lines.groupBy("_line").agg(
+        F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_w")
+    )
+    tagged = lines.join(winners, "_line").withColumn(
+        "_keep", (F.col("_w._id") == F.col("_id")) & (F.col("_w._pos") == F.col("_pos"))
+    )
+    rebuilt = tagged.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct(F.col("_pos"), F.col("_line")))
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+            line_sep,
+        ).alias(text_col),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_lines_kept"),
+        F.sum(F.when(F.col("_keep"), 0).otherwise(1)).alias("n_lines_dropped"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            F.coalesce("n_lines_dropped", F.lit(0)).alias("n_lines_dropped"),
+        )
+    )

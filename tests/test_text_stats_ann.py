@@ -143,6 +143,58 @@ def test_repetition_stats_hand_computed(spark):
     assert out.loc[2, "n_lines"] == 0 and out.loc[2, "dup_line_frac"] == 0.0
 
 
+def test_mask_pii(spark):
+    from string_grouper_spark.functions.pii import mask_pii
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "mail a.b+c@sub.example.org or 192.168.0.1 or +44 20-7946-0958 ok",
+                "no pii here, just 1.2 numbers and an at @ sign",
+            ],
+        }
+    )
+    out = (
+        mask_pii(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    )
+    assert out.loc[0, "text_masked"] == "mail <EMAIL> or <IP> or <PHONE> ok"
+    assert (
+        out.loc[0, ["n_emails", "n_ipv4", "n_phones"]].tolist() == [1, 1, 1]
+    )
+    assert out.loc[1, "text_masked"] == pdf.loc[1, "text"]
+    assert out.loc[1, ["n_emails", "n_ipv4", "n_phones"]].tolist() == [0, 0, 0]
+
+
+def test_corpus_line_dedup(spark):
+    from string_grouper_spark.operators.dedup import corpus_line_dedup
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "footer\nunique zero",        # footer first occurrence
+                "alpha one\nfooter\nalpha one",  # in-doc dup + corpus dup
+                "   \nfooter",                # blank line + dropped footer
+            ],
+        }
+    )
+    out = (
+        corpus_line_dedup(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "text"] == "footer\nunique zero"
+    assert out.loc[0, "n_lines_kept"] == 2 and out.loc[0, "n_lines_dropped"] == 0
+    # doc 1 keeps only the FIRST 'alpha one'; footer belongs to doc 0
+    assert out.loc[1, "text"] == "alpha one"
+    assert out.loc[1, "n_lines_kept"] == 1 and out.loc[1, "n_lines_dropped"] == 2
+    # doc 2: blank line ignored, footer dropped -> empty doc, full row kept
+    assert out.loc[2, "text"] == "" and out.loc[2, "n_lines_kept"] == 0
+    assert out.loc[2, "n_lines_dropped"] == 1
+
+
 def test_fingerprint_empty_and_null_text(spark):
     # empty docs must carry a REAL fingerprint (they are exact duplicates
     # of each other and must equi-join); only NULL text is NULL

@@ -115,6 +115,25 @@ def _build_parser() -> argparse.ArgumentParser:
     ud.add_argument("--url-col", default="url")
     ud.add_argument("--ts-col", default="warc_ts")
 
+    lp = sub.add_parser(
+        "line-dedup",
+        help="corpus-level line dedup (C4/CCNet pass): lines duplicated "
+        "across the corpus survive only at their first (doc, position) "
+        "occurrence; output (<id>, <text>, n_lines_kept, n_lines_dropped)",
+    )
+    lp.add_argument("--input", required=True)
+    lp.add_argument("--output", required=True)
+    lp.add_argument("--text-col", default="text")
+    lp.add_argument("--id-col", default="doc_id")
+
+    mp = sub.add_parser(
+        "mask-pii",
+        help="mask emails / IPv4 / phone numbers and count them per doc",
+    )
+    mp.add_argument("--input", required=True)
+    mp.add_argument("--output", required=True)
+    mp.add_argument("--text-col", default="text")
+
     tk = sub.add_parser("topk", help="cosine top-k neighbors over embeddings")
     tk.add_argument("--input", required=True)
     tk.add_argument("--output", required=True)
@@ -214,6 +233,14 @@ def main(argv: Optional[list] = None) -> int:
         from .functions.urls import url_dedup
 
         out = url_dedup(df, url_col=args.url_col, ts_col=args.ts_col)
+    elif args.command == "line-dedup":
+        from .operators.dedup import corpus_line_dedup
+
+        out = corpus_line_dedup(df, text_col=args.text_col, id_col=args.id_col)
+    elif args.command == "mask-pii":
+        from .functions.pii import mask_pii
+
+        out = mask_pii(df, text_col=args.text_col)
     elif args.command == "topk":
         from .operators import ann
 

@@ -71,6 +71,29 @@ def test_cli_dedup_compact(spark, tmp_path):
     assert lab2.loc[5] == 5 and lab2.loc[6] == 6
 
 
+def test_cli_line_dedup_and_mask_pii(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["footer\nme@x.org wrote", "footer\nother line"],
+        }
+    )
+    src = f"{tmp_path}/docs"
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    out1 = f"{tmp_path}/lines"
+    assert main(["line-dedup", "--input", src, "--output", out1]) == 0
+    lines = spark.read.parquet(out1).toPandas().set_index("doc_id")
+    assert lines.loc[0, "text"] == "footer\nme@x.org wrote"
+    assert lines.loc[1, "text"] == "other line"  # corpus-dup footer dropped
+
+    out2 = f"{tmp_path}/pii"
+    assert main(["mask-pii", "--input", src, "--output", out2]) == 0
+    pii = spark.read.parquet(out2).toPandas().set_index("doc_id")
+    assert "<EMAIL>" in pii.loc[0, "text_masked"]
+    assert pii.loc[0, "n_emails"] == 1 and pii.loc[1, "n_emails"] == 0
+
+
 def test_cli_topk(spark, tmp_path):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     src = f"{tmp_path}/emb"

@@ -113,7 +113,7 @@ def test_sniff_dispatch_and_honest_failures():
     assert np.array_equal(codecs.sniff_and_decode_image(codecs.encode_png(rgb)), rgb)
     assert np.array_equal(codecs.sniff_and_decode_image(codecs.encode_ppm(rgb)), rgb)
     assert np.array_equal(codecs.sniff_and_decode_image(codecs.encode_bmp(rgb)), rgb)
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    with pytest.raises(ValueError):  # truncated/garbage JPEG is a loud error
         codecs.sniff_and_decode_image(b"\xff\xd8\xff\xe0fakejpeg")
     with pytest.raises(ValueError):
         codecs.sniff_and_decode_image(b"not an image at all")
@@ -131,21 +131,24 @@ def test_extract_features_on_real_payloads(spark):
     # (BinaryType payload column, fake=False), deterministic output
     from string_grouper_spark.operators.multimodal import extract_features
 
+    from string_grouper_spark.functions.jpeg import encode_jpeg
+
     png = codecs.encode_png(_img(8, 8, seed=1))
     bmp = codecs.encode_bmp(_img(8, 6, seed=2))
+    jpg = encode_jpeg(_img(16, 16, seed=4), quality=90)
     wav = codecs.encode_wav(
         np.random.RandomState(3).randint(-32768, 32767, size=500).astype(np.int16),
         16_000,
     )
     pdf = pd.DataFrame(
         {
-            "media_id": [0, 1, 2],
-            "kind": ["image", "image", "audio"],
-            "payload": [png, bmp, wav],
-            "width": [8, 6, None],
-            "height": [8, 8, None],
-            "sample_rate": [None, None, 16_000],
-            "n_frames": [None, None, None],
+            "media_id": [0, 1, 2, 3],
+            "kind": ["image", "image", "audio", "image"],
+            "payload": [png, bmp, wav, jpg],
+            "width": [8, 6, None, 16],
+            "height": [8, 8, None, 16],
+            "sample_rate": [None, None, 16_000, None],
+            "n_frames": [None, None, None, None],
         }
     )
     schema = (
@@ -155,7 +158,7 @@ def test_extract_features_on_real_payloads(spark):
     media = spark.createDataFrame(pdf, schema)
     out1 = extract_features(media, fake=False).toPandas().sort_values("media_id")
     out2 = extract_features(media, fake=False).toPandas().sort_values("media_id")
-    assert out1["feat_dim"].tolist() == [16, 16, 16]
+    assert out1["feat_dim"].tolist() == [16, 16, 16, 16]
     assert all(len(f) == 16 for f in out1["feature"])
     for a, b in zip(out1["feature"], out2["feature"]):
         assert list(a) == list(b)
@@ -166,3 +169,98 @@ def test_extract_features_on_real_payloads(spark):
     vid = media.withColumn("kind", __import__("pyspark").sql.functions.lit("video"))
     with pytest.raises(Exception, match="video containers"):
         extract_features(vid, fake=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (functions/jpeg.py)
+# ---------------------------------------------------------------------------
+
+def _smooth(h, w, seed=0):
+    """Smooth gradient + mild noise: a realistic photographic-ish signal
+    (JPEG quality bounds are meaningless on white noise)."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        128
+        + 80 * np.sin(yy / 9.0)
+        + 60 * np.cos(xx / 7.0)
+        + rng.normal(0, 4, size=(h, w))
+    )
+    return np.clip(base, 0, 255).astype(np.uint8)
+
+
+def test_jpeg_dct_matrix_orthonormal():
+    from string_grouper_spark.functions.jpeg import dct_matrix
+
+    C = dct_matrix()
+    assert np.allclose(C @ C.T, np.eye(8), atol=1e-12)
+
+
+def test_jpeg_zigzag_is_the_published_order():
+    from string_grouper_spark.functions.jpeg import ZIGZAG
+
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    # spec spot checks: start 0,1,8,16,9,2; end ...,47,55,62,63
+    assert ZIGZAG[:6].tolist() == [0, 1, 8, 16, 9, 2]
+    assert ZIGZAG[-4:].tolist() == [47, 55, 62, 63]
+
+
+def test_jpeg_huffman_tables_are_wellformed():
+    from string_grouper_spark.functions.jpeg import (
+        AC_CHROM, AC_LUM, DC_CHROM, DC_LUM, _huff_codes,
+    )
+
+    for bits, vals in (DC_LUM, DC_CHROM, AC_LUM, AC_CHROM):
+        assert sum(bits) == len(vals)
+        codes = _huff_codes(bits, vals)
+        # prefix-free: no code is a prefix of a longer one
+        as_bits = {format(c, f"0{l}b") for (c, l) in codes.values()}
+        assert len(as_bits) == len(codes)
+        for a in as_bits:
+            for b in as_bits:
+                assert a == b or not b.startswith(a)
+    assert sum(AC_LUM[0]) == 162 and sum(AC_CHROM[0]) == 162
+
+
+def test_jpeg_roundtrip_grayscale():
+    from string_grouper_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth(24, 17, seed=1)  # odd width: pad/crop path
+    got = decode_jpeg(encode_jpeg(img, quality=90))
+    assert got.shape == img.shape
+    assert np.abs(got.astype(float) - img.astype(float)).mean() < 4.0
+
+
+def test_jpeg_roundtrip_rgb_444_and_420():
+    from string_grouper_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.stack([_smooth(21, 19, seed=s) for s in (2, 3, 4)], axis=-1)
+    for sub in (False, True):
+        got = decode_jpeg(encode_jpeg(img, quality=90, subsample=sub))
+        assert got.shape == img.shape
+        mae = np.abs(got.astype(float) - img.astype(float)).mean()
+        assert mae < (6.0 if not sub else 10.0), (sub, mae)
+
+
+def test_jpeg_quality_monotone():
+    from string_grouper_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth(32, 32, seed=5)
+    maes = []
+    for q in (95, 70, 30):
+        got = decode_jpeg(encode_jpeg(img, quality=q))
+        maes.append(np.abs(got.astype(float) - img.astype(float)).mean())
+    assert maes[0] < maes[1] < maes[2]
+
+
+def test_jpeg_via_sniff_dispatch_and_progressive_raises():
+    from string_grouper_spark.functions.jpeg import encode_jpeg
+
+    img = _smooth(16, 16, seed=6)
+    payload = encode_jpeg(img, quality=92)
+    got = codecs.sniff_and_decode_image(payload)
+    assert np.abs(got.astype(float) - img.astype(float)).mean() < 4.0
+    # flip SOF0 -> SOF2 (progressive): must raise, not mis-decode
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        codecs.sniff_and_decode_image(prog)

@@ -46,7 +46,7 @@ def test_real_decode_dispatch_contract():
     img = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
     got = multimodal.decode_image(encode_ppm(img), 3, 3, fake=False)
     assert np.array_equal(got, img)
-    with pytest.raises(NotImplementedError):  # JPEG needs a real codec lib
+    with pytest.raises(ValueError):  # truncated JPEG is a loud error
         multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg", 8, 8, fake=False)
     with pytest.raises(ValueError):  # garbage is a loud error, not a stub
         multimodal.decode_image(b"x", 8, 8, fake=False)

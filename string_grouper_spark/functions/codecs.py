@@ -12,9 +12,11 @@ standard library and numpy:
     8-bit gray/RGB/RGBA (the overwhelming web-PNG case);
   * WAV — stdlib ``wave`` -> int16/uint8 PCM samples + sample rate.
 
-Formats that genuinely require external codecs (JPEG's DCT entropy
-coding, video containers) still raise ``NotImplementedError`` — the stub
-surface is now only where the container truly lacks the capability.
+Baseline (sequential DCT) JPEG also decodes for real via the pure-numpy
+codec in ``functions.jpeg`` (``sniff_and_decode_image`` dispatches on the
+SOI magic).  The only formats that still raise ``NotImplementedError``
+are video containers and arithmetic-coded JPEG — the stub surface is now
+only where the container truly lacks the capability.
 
 Encoders for PPM/BMP/PNG/WAV are included so tests can synthesize
 deterministic payloads and assert decode(encode(x)) == x exactly.
@@ -67,6 +69,10 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         raise NotImplementedError("16-bit netpbm not supported")
     ch = 3 if magic == b"P6" else 1
     arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=off)
+    if maxval != 255:
+        # netpbm samples are relative to maxval; rescale to the uint8
+        # convention the featurizer assumes (round-half-up like most viewers)
+        arr = ((arr.astype(np.uint32) * 255 + maxval // 2) // maxval).astype(np.uint8)
     return arr.reshape((h, w, 3)) if ch == 3 else arr.reshape((h, w))
 
 

@@ -7,6 +7,14 @@ text (C4/RefinedWeb-style regex gates).  Three deterministic detectors:
   * IPv4    — dotted quads with word boundaries;
   * phones  — E.164-ish ``+`` international numbers (digits/space/hyphen).
 
+**False-positive policy: recall-first, deliberately permissive.**  This
+is a masking pass, not a validator — over-masking costs a few tokens of
+training text, under-masking leaks PII.  Consequently ``IPV4_RE`` accepts
+invalid quads (``999.999.999.999`` masks), and ``PHONE_RE`` masks any
+``+``-prefixed international-looking digit run without checksum or
+country-code validation.  Callers needing precision should post-filter
+the ``n_*`` counter columns, not loosen the masks.
+
 Patterns are deliberately restricted to constructs Java regex (Spark) and
 RE2 (DuckDB) evaluate identically — greedy character-class quantifiers,
 no alternation-order tricks — so the ``pii`` driver oracle mirrors them

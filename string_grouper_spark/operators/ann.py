@@ -314,10 +314,11 @@ def _bucket_local_topk(
 
 def _finalize_topk(cand: DataFrame, kk: int) -> DataFrame:
     """Global top-k over bucket candidates: duplicates from multiple shared
-    buckets score the same pair (at most an ulp apart across BLAS block
-    shapes — immaterial to ranking), and the dedup keys on ids only, so a
-    slim (q, i, cos)-triple dedup + one window finishes the query."""
-    dedup = cand.dropDuplicates(["query_id", "item_id"])
+    buckets score the same pair at most an ulp apart across BLAS block
+    shapes; aggregating with max('cos') (a partial agg, not an arbitrary
+    dropDuplicates pick) makes the kept score — and therefore rank-tie
+    resolution at the k-th boundary — deterministic across runs."""
+    dedup = cand.groupBy("query_id", "item_id").agg(F.max("cos").alias("cos"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("item_id").asc()
     )

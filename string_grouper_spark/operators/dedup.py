@@ -7,6 +7,7 @@ core operators, returning DataFrames (nothing collected).
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 from pyspark.sql import DataFrame
@@ -178,9 +179,14 @@ def corpus_line_dedup(
     key whose partial states are a single (id, pos) pair each — skew-safe
     by construction.
     """
+    # F.split takes a REGEX but the rebuild joins with the literal string:
+    # escape so separators with regex metacharacters ('.', '|') split the
+    # same bytes they re-join.
     lines = docs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), line_sep)).alias("_pos", "_line"),
+        F.posexplode(F.split(F.col(text_col), re.escape(line_sep))).alias(
+            "_pos", "_line"
+        ),
     ).where(F.trim("_line") != "")
     winners = lines.groupBy("_line").agg(
         F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_w")

@@ -3,10 +3,10 @@
 The Spark-side machinery (schemas, Arrow batching via ``mapInPandas``,
 partition sizing) is REAL and tested, and as of round 4 so are the codecs
 for every format the standard library + numpy can express
-(``functions.codecs``): PNG / PPM / PGM / BMP images and PCM WAV audio
-decode for real — ``decode_image``/``decode_audio`` sniff the payload's
-magic bytes and dispatch.  Only formats that genuinely require external
-libraries (JPEG entropy coding, video containers) still raise
+(``functions.codecs``): PNG / PPM / PGM / BMP and baseline JPEG images
+(``functions.jpeg``) and PCM WAV audio decode for real —
+``decode_image``/``decode_audio`` sniff the payload's magic bytes and
+dispatch.  Only video containers and arithmetic-coded JPEG still raise
 ``NotImplementedError``; ``fake=True`` keeps the deterministic stub for
 pipeline-shape tests.
 
@@ -67,9 +67,10 @@ def _fake_decode(payload: bytes, shape: tuple) -> np.ndarray:
 
 def decode_image(payload: bytes, width: int, height: int, fake: bool = False) -> np.ndarray:
     """Decode an image payload.  ``fake=False`` (default) runs the REAL
-    pure-numpy codecs (PNG/PPM/PGM/BMP via magic-byte sniffing); JPEG and
-    unknown formats raise.  ``fake=True`` keeps the deterministic stub
-    whose shape comes from the metadata columns."""
+    pure-numpy codecs (PNG/PPM/PGM/BMP/baseline-JPEG via magic-byte
+    sniffing); arithmetic-coded JPEG and unknown formats raise.
+    ``fake=True`` keeps the deterministic stub whose shape comes from the
+    metadata columns."""
     if fake:
         return _fake_decode(payload, (height, width, 3))
     from ..functions.codecs import sniff_and_decode_image

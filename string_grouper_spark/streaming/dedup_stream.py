@@ -269,8 +269,11 @@ def compact_incremental_matches(
         # failure — permissions, corrupt footers, schema problems — must
         # surface, or a transient FS error silently labels the whole
         # corpus duplicate-free
-        if "PATH_NOT_FOUND" not in str(getattr(e, "getErrorClass", lambda: "")()) \
-                and "PATH_NOT_FOUND" not in str(e):
+        # Spark >=3.4 raises error class PATH_NOT_FOUND; older releases say
+        # "Path does not exist: ..." — match both so the documented degrade
+        # contract doesn't silently depend on the Spark version.
+        msg = str(getattr(e, "getErrorClass", lambda: "")()) + " " + str(e)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
             raise
         matches = None
     nd = nodes.select(F.col(id_col).cast("long").alias(id_col))

@@ -623,6 +623,7 @@ class PrefitLshMatcher:
             self.corpus_vecs.count()  # materialize while terms is cached
         finally:
             terms.unpersist()
+        self._base_vecs = self.corpus_vecs  # the persisted fit-time piece
         self._corpus_buckets = self._buckets(self.corpus_vecs)
 
     def _buckets(self, vecs: DataFrame) -> DataFrame:
@@ -635,18 +636,37 @@ class PrefitLshMatcher:
         )
         return capped_buckets(b, self.max_bucket_size, key_cols=("key",))
 
-    def match(self, batch: DataFrame) -> DataFrame:
-        """(master_side=corpus id, dupe_side=batch id, similarity) with
-        sim >= cfg.min_similarity, in the frozen corpus feature space."""
-        vecs_b = doc_vectors(
+    def vectorize(self, batch: DataFrame) -> DataFrame:
+        """Batch -> packed (doc_id, codes, ws, bands) vectors in the FROZEN
+        corpus feature space, localCheckpointed eagerly: the snapshot is
+        batch-sized and every downstream consumer (bucket branch, re-score
+        join, ``extend``) reuses the one materialization instead of
+        re-running the narrow passes."""
+        return doc_vectors(
             batch, self.cfg, self.num_perm, self.num_bands,
             self.text_col, self.id_col, n_docs=1,  # idf frozen; n unused
             shingle=self.shingle, shingle_words=self.shingle_words,
             idf_bc=self.idf_bc,
-        # two consumers (bucket branch + re-score join): materialize the
-        # batch's narrow passes ONCE — batch-sized, so the snapshot is
-        # bounded, and nothing lingers after the returned plan is consumed
         ).localCheckpoint(eager=True)
+
+    def match(self, batch: DataFrame, self_pairs: bool = False) -> DataFrame:
+        """(master_side, dupe_side, similarity) with sim >=
+        cfg.min_similarity, in the frozen corpus feature space.
+
+        Default: corpus-vs-batch pairs only (master_side = corpus id,
+        dupe_side = batch id).  ``self_pairs=True`` additionally emits
+        WITHIN-batch pairs (master_side < dupe_side, both batch ids) via
+        the same one-shuffle grouped-bucket kernel as the batch flagship —
+        without it, two batch docs that duplicate EACH OTHER but nothing in
+        the corpus are invisible (the self-join semantics of the
+        reference's ``match_strings``, string_grouper.py:136-138, which a
+        corpus-vs-batch join alone cannot reproduce)."""
+        return self.match_vecs(self.vectorize(batch), self_pairs=self_pairs)
+
+    def match_vecs(self, vecs_b: DataFrame, self_pairs: bool = False) -> DataFrame:
+        """``match`` over pre-vectorized batch vectors (see ``vectorize``) —
+        lets callers that also ``extend`` the corpus pay the narrow passes
+        once per batch."""
         bb = self._buckets(vecs_b)
         cand = (
             self._corpus_buckets.select("key", F.col("doc_id").alias(LEFT))
@@ -660,6 +680,35 @@ class PrefitLshMatcher:
         pr = vecs_b.select(
             F.col("doc_id").alias(RIGHT), F.col("codes").alias("_g2"), F.col("ws").alias("_w2")
         )
+        out = (
+            cand.join(pl, LEFT)
+            .join(pr, RIGHT)
+            .select(LEFT, RIGHT, _sparse_dot("_g1", "_w1", "_g2", "_w2").alias(SIM))
+            .where(F.col(SIM) >= float(self.cfg.min_similarity))
+        )
+        if self_pairs:
+            out = out.unionByName(self._self_pairs_vecs(vecs_b, bb))
+        return out
+
+    def match_self(self, batch: DataFrame) -> DataFrame:
+        """WITHIN-batch near-dup pairs only: (master_side < dupe_side,
+        similarity), both sides batch ids, scored in the frozen corpus
+        feature space."""
+        vecs_b = self.vectorize(batch)
+        return self._self_pairs_vecs(vecs_b, self._buckets(vecs_b))
+
+    def _self_pairs_vecs(self, vecs_b: DataFrame, bb: DataFrame) -> DataFrame:
+        from ..operators.candidates import _grouped_bucket_pairs
+
+        cand = _grouped_bucket_pairs(
+            bb, self.max_bucket_size, key_cols=("key",)
+        ).dropDuplicates([LEFT, RIGHT])
+        pl = vecs_b.select(
+            F.col("doc_id").alias(LEFT), F.col("codes").alias("_g1"), F.col("ws").alias("_w1")
+        )
+        pr = vecs_b.select(
+            F.col("doc_id").alias(RIGHT), F.col("codes").alias("_g2"), F.col("ws").alias("_w2")
+        )
         return (
             cand.join(pl, LEFT)
             .join(pr, RIGHT)
@@ -667,5 +716,30 @@ class PrefitLshMatcher:
             .where(F.col(SIM) >= float(self.cfg.min_similarity))
         )
 
+    def extend(self, batch: DataFrame) -> None:
+        """Absorb a batch into the frozen index: subsequent ``match`` calls
+        see corpus ∪ all extended batches.  The IDF/vocabulary stays FROZEN
+        (corpus-only — sklearn ``transform`` semantics throughout), so
+        scores remain in one consistent feature space across the stream."""
+        self.extend_vecs(self.vectorize(batch))
+
+    def extend_vecs(self, vecs_b: DataFrame) -> None:
+        """``extend`` over pre-vectorized (checkpointed) batch vectors.
+
+        Scale shape: NO corpus re-scan — the new piece is a checkpointed
+        batch-sized frame unioned into the corpus-vector and bucket VIEWS
+        (each piece stays individually cached; the union is lazy), so
+        per-batch extension cost is O(batch).  Each piece's buckets are
+        capped independently — a bucket can reach ``max_bucket_size`` per
+        piece, the same per-side contract as the bipartite plan.  Caller
+        contract: batch ids are new (streamed ids never collide with corpus
+        ids); duplicate ids would double-count in downstream joins."""
+        self.corpus_vecs = self.corpus_vecs.unionByName(vecs_b)
+        self._corpus_buckets = self._corpus_buckets.unionByName(
+            self._buckets(vecs_b)
+        )
+
     def unpersist(self) -> None:
-        self.corpus_vecs.unpersist()
+        # base corpus vectors were persisted at fit; extension pieces are
+        # localCheckpoints, which Spark reclaims with their RDDs
+        self._base_vecs.unpersist()

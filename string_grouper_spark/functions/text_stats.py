@@ -22,30 +22,52 @@ LANG_MARKERS = {
 }
 
 
-def _count_word(text_col, word: str):
-    # count of whole-word occurrences in lowered text
-    return (
-        F.size(F.split(F.concat(F.lit(" "), F.lower(text_col), F.lit(" ")), f"[^a-z]{word}[^a-z]"))
-        - 1
+def _word_norm(text_col):
+    """ONE tokenize pass shared by every marker count: lowered text split
+    on non-letter runs and re-joined with DOUBLE spaces (plus leading/
+    trailing pads).  Counting a marker is then a LITERAL ``' w '`` split —
+    and because adjacent tokens are separated by TWO spaces, consecutive
+    occurrences ("the the the") never share a consumed separator, so the
+    count is exact (the single-space formulation undercounted adjacency:
+    non-overlapping regex matching consumes the boundary).  Replaces the
+    previous shape's ~25 per-marker regex scans of the full document with
+    one regex tokenize + cheap literal scans (measured 2.5x on 3000-word
+    docs; BASELINE.md round-5 log)."""
+    return F.concat(
+        F.lit("  "),
+        F.array_join(F.split(F.lower(text_col), "[^a-z]+"), "  "),
+        F.lit("  "),
     )
+
+
+def _count_word(norm_col, word: str):
+    # whole-word occurrence count over a ``_word_norm`` column: pieces - 1
+    # of a literal split (limit -1 keeps trailing empties, mirroring
+    # DuckDB's string_split piece count exactly)
+    return F.size(F.split(norm_col, f" {word} ", -1)) - 1
 
 
 def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Stopword-vote language ID; 'und' (undetermined) when no marker hits.
 
     Deterministic tie-break: language order en < de < fr < es by score desc.
+    One tokenize pass (``_word_norm``) feeds all 20 marker counts.
     """
     scores = [
         F.struct(
-            sum(_count_word(F.col(text_col), w) for w in words).alias("score"),
+            sum(_count_word(F.col("_wnorm"), w) for w in words).alias("score"),
             F.lit(-i).alias("ord"),  # negated: desc sort => first-listed language wins ties
             F.lit(lang).alias("lang"),
         )
         for i, (lang, words) in enumerate(LANG_MARKERS.items())
     ]
     best = F.sort_array(F.array(*scores), asc=False)[0]
-    return df.withColumn(
-        out_col, F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return (
+        df.withColumn("_wnorm", _word_norm(F.col(text_col)))
+        .withColumn(
+            out_col, F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+        )
+        .drop("_wnorm")
     )
 
 
@@ -78,10 +100,11 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = F.size(toks)
     alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
     punct = F.length(F.regexp_replace(t, r"[^.,!?;:]", ""))
-    stop_hits = sum(_count_word(t, w) for w in LANG_MARKERS["en"])
+    stop_hits = sum(_count_word(F.col("_wnorm"), w) for w in LANG_MARKERS["en"])
     mean_tok = n_chars / n_tokens
     out = (
-        df.withColumn("n_chars_q", n_chars)
+        df.withColumn("_wnorm", _word_norm(t))
+        .withColumn("n_chars_q", n_chars)
         .withColumn("n_tokens_q", n_tokens)
         .withColumn("alpha_ratio", F.round(alpha / F.greatest(n_chars, F.lit(1)), 6))
         .withColumn("punct_ratio", F.round(punct / F.greatest(n_chars, F.lit(1)), 6))
@@ -93,7 +116,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.when(F.col("punct_ratio") <= 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
         + F.when(F.col("stopword_rate") >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
     )
-    return out.withColumn("quality_score", F.round(score, 2))
+    return out.withColumn("quality_score", F.round(score, 2)).drop("_wnorm")
 
 
 def repetition_stats(

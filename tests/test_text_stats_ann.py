@@ -416,3 +416,27 @@ def test_prefit_ann_index_orphan_query_returns_no_rows(spark):
     # either zero rows (no shared bucket) or scored rows — never an error;
     # assert the schema contract regardless
     assert list(out.columns) == ["query_id", "item_id", "cos"]
+
+
+def test_word_count_adjacent_occurrences_exact(spark):
+    # the single-space regex-split formulation undercounted adjacency
+    # ("the the the" -> 1: each match consumed the shared separator); the
+    # double-space word-norm counts every whole-word occurrence exactly
+    from pyspark.sql import functions as F
+
+    from string_grouper_spark.functions.text_stats import _count_word, _word_norm
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["the the the", "the", "atheist lathe the", ""],
+        }
+    )
+    df = spark.createDataFrame(pdf).withColumn("_wnorm", _word_norm(F.col("text")))
+    out = (
+        df.select("doc_id", _count_word(F.col("_wnorm"), "the").alias("c"))
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    # 'atheist'/'lathe' must NOT count (whole-word only); empty text -> 0
+    assert out["c"].tolist() == [3, 1, 1, 0]

@@ -398,6 +398,9 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(multi).select(
         "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
         "top_bigram_frac",
+        "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+        "dup_5gram_char_frac", "dup_6gram_char_frac", "dup_7gram_char_frac",
+        "dup_8gram_char_frac", "dup_9gram_char_frac", "dup_10gram_char_frac",
     )
 
 
@@ -969,17 +972,48 @@ lstat AS (
   FROM lc GROUP BY 1
 ), wsyn AS (
   SELECT doc_id, list_concat(w[1:nfull*5], w[1:5]) AS v FROM eligible
-), bg AS (
-  SELECT doc_id, v[j] || ' ' || v[j+1] AS bgram
-  FROM wsyn, LATERAL (SELECT unnest(generate_series(1, len(v)-1)) AS j) t
-), bgc AS (SELECT doc_id, bgram, count(*) AS c FROM bg GROUP BY 1, 2),
-bgstat AS (SELECT doc_id, max(c) AS topc, sum(c) AS nbg FROM bgc GROUP BY 1)
+), ns AS (SELECT unnest(generate_series(2, 10)) AS n
+), gr AS (
+  -- word n-grams for every Gopher order in ONE pass, n carried as a column
+  -- (mirrors text_stats.repetition_stats's single explode); the position
+  -- lateral depends only on v, the n filter is a plain predicate
+  SELECT doc_id, n, array_to_string(v[j:j+n-1], ' ') AS g
+  FROM wsyn CROSS JOIN ns,
+       LATERAL (SELECT unnest(generate_series(1, len(v))) AS j) t
+  WHERE j + n - 1 <= len(v)
+), gc AS (SELECT doc_id, n, g, count(*) AS c FROM gr GROUP BY 1, 2, 3),
+gstat AS (
+  SELECT doc_id, n,
+         -- deterministic top gram: (count, char length, gram) struct max —
+         -- field-by-field comparison, identical to Spark's max(struct)
+         max(struct_pack(c := c, l := length(g), g := g)) AS top,
+         sum(c*length(g)) AS gtot,
+         sum(CASE WHEN c > 1 THEN c*length(g) ELSE 0 END) AS gdup,
+         max(c) AS topc, sum(c) AS ng
+  FROM gc GROUP BY 1, 2
+), gp AS (
+  SELECT doc_id,
+    max(CASE WHEN n=2 THEN round(topc::DOUBLE / ng, 6) END) AS top_bigram_frac,
+    max(CASE WHEN n=2 THEN round((struct_extract(top,'c')*struct_extract(top,'l'))::DOUBLE / gtot, 6) END) AS top_2gram_char_frac,
+    max(CASE WHEN n=3 THEN round((struct_extract(top,'c')*struct_extract(top,'l'))::DOUBLE / gtot, 6) END) AS top_3gram_char_frac,
+    max(CASE WHEN n=4 THEN round((struct_extract(top,'c')*struct_extract(top,'l'))::DOUBLE / gtot, 6) END) AS top_4gram_char_frac,
+    max(CASE WHEN n=5 THEN round(gdup::DOUBLE / gtot, 6) END) AS dup_5gram_char_frac,
+    max(CASE WHEN n=6 THEN round(gdup::DOUBLE / gtot, 6) END) AS dup_6gram_char_frac,
+    max(CASE WHEN n=7 THEN round(gdup::DOUBLE / gtot, 6) END) AS dup_7gram_char_frac,
+    max(CASE WHEN n=8 THEN round(gdup::DOUBLE / gtot, 6) END) AS dup_8gram_char_frac,
+    max(CASE WHEN n=9 THEN round(gdup::DOUBLE / gtot, 6) END) AS dup_9gram_char_frac,
+    max(CASE WHEN n=10 THEN round(gdup::DOUBLE / gtot, 6) END) AS dup_10gram_char_frac
+  FROM gstat GROUP BY 1
+)
 SELECT l.doc_id,
        n_lines::BIGINT AS n_lines,
        round((n_lines - nd)::DOUBLE / n_lines, 6) AS dup_line_frac,
        round(dupch::DOUBLE / totch, 6) AS dup_line_char_frac,
-       round(topc::DOUBLE / nbg, 6) AS top_bigram_frac
-FROM lstat l JOIN bgstat USING (doc_id)
+       top_bigram_frac,
+       top_2gram_char_frac, top_3gram_char_frac, top_4gram_char_frac,
+       dup_5gram_char_frac, dup_6gram_char_frac, dup_7gram_char_frac,
+       dup_8gram_char_frac, dup_9gram_char_frac, dup_10gram_char_frac
+FROM lstat l JOIN gp USING (doc_id)
 """
 
 _ORACLES["line_dedup"] = r"""

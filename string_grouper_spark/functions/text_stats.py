@@ -134,12 +134,34 @@ def repetition_stats(
       * ``dup_line_char_frac``  — fraction of line characters inside those
                                   repeats (extra copies' chars / all chars);
       * ``top_bigram_frac``     — share of the most frequent word 2-gram
-                                  among all word 2-grams (None if < 2 words).
+                                  among all word 2-grams (None if < 2 words);
+      * ``top_{2,3,4}gram_char_frac`` — character share of the most frequent
+                                  word n-gram: cnt_top * len(top) over the
+                                  total n-gram occurrence chars sum(cnt*len)
+                                  (the Gopher top-n-gram filters, n = 2-4;
+                                  the most frequent gram is picked by
+                                  max(struct(cnt, len, gram)) so count ties
+                                  break deterministically and identically
+                                  in Spark and the SQL oracle);
+      * ``dup_{5..10}gram_char_frac`` — character share of n-grams occurring
+                                  more than once: sum(cnt*len | cnt>1) over
+                                  sum(cnt*len) (the Gopher dup-n-gram
+                                  filters, n = 5-10).
 
-    Shape: RELATIONAL — lines and bigrams are exploded and counted with
-    groupBy partial aggregations (two narrow explodes + three map-side-
-    combined shuffles), never a per-row distinct x filter array lambda (the
-    O(L^2) interpreted pattern this engine keeps measuring as 10-60x slow).
+    Normalization note: fractions are over total n-gram OCCURRENCE
+    characters, not raw document length, and overlapping duplicate spans
+    are not position-unioned — a deterministic, relational variant of the
+    published filters (monotonically related; the positional-union form
+    needs per-doc interval logic that does not decompose into partial
+    aggregations).
+
+    Shape: RELATIONAL — lines and n-grams are exploded and counted with
+    groupBy partial aggregations (ONE gram explode covers every n via a
+    carried ``n`` column, then count -> per-(doc, n) agg -> pivot), never
+    a per-row distinct x filter array lambda (the O(L^2) interpreted
+    pattern this engine keeps measuring as 10-60x slow).  The hot
+    aggregation keys are (doc_id, n, gram) — a boilerplate gram repeated
+    across 10^9 docs is still per-doc keyed, so no global skew key exists.
     Docs with no non-empty lines are kept with zero counts via the
     join-back on ``df`` ids.  All fractions round to 6dp so an independent
     SQL engine hash-matches.
@@ -163,26 +185,55 @@ def repetition_stats(
     )
 
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    bigrams = df.select(
-        id_col,
-        F.explode(
-            F.when(
-                F.size(words) >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(words) - 2),
-                    lambda i: F.concat_ws(" ", words[i], words[i + 1]),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("_bg"),
+    top_ns, dup_ns = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+    all_ns = top_ns + dup_ns
+    # ONE explode carries every n: (doc, n, gram) rows for n-grams of all
+    # the orders the Gopher family needs
+    def _gram_lambda(n):
+        # factory, NOT a default-arg lambda: F.transform treats a two-
+        # parameter lambda as (element, index) and would bind ``n`` to the
+        # array index
+        return lambda i: F.struct(
+            F.lit(n).alias("_n"),
+            F.array_join(F.slice(words, i + 1, n), " ").alias("_g"),
+        )
+
+    gram_arrays = [
+        F.when(
+            F.size(words) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(words) - n), _gram_lambda(n)),
+        ).otherwise(F.array().cast("array<struct<_n:int,_g:string>>"))
+        for n in all_ns
+    ]
+    grams = df.select(
+        id_col, F.explode(F.flatten(F.array(*gram_arrays))).alias("_gr")
+    ).select(id_col, F.col("_gr._n").alias("_n"), F.col("_gr._g").alias("_g"))
+    per_gram = grams.groupBy(id_col, "_n", "_g").agg(F.count(F.lit(1)).alias("_cnt"))
+    glen = F.length("_g")
+    gram_stats = per_gram.groupBy(id_col, "_n").agg(
+        # deterministic top gram: count, then char length, then the gram
+        F.max(F.struct(F.col("_cnt"), glen.alias("_l"), F.col("_g"))).alias("_top"),
+        F.sum(F.col("_cnt") * glen).alias("_tot_ch"),
+        F.sum(F.when(F.col("_cnt") > 1, F.col("_cnt") * glen).otherwise(0)).alias("_dup_ch"),
+        F.max("_cnt").alias("_top_cnt"),
+        F.sum("_cnt").alias("_n_grams"),
     )
-    per_bg = bigrams.groupBy(id_col, "_bg").agg(F.count(F.lit(1)).alias("_cnt"))
-    bg_stats = per_bg.groupBy(id_col).agg(
-        F.max("_cnt").alias("_top_bg"), F.sum("_cnt").alias("_n_bg")
+    per_n = gram_stats.select(
+        id_col,
+        "_n",
+        F.round(F.col("_top_cnt") / F.col("_n_grams"), 6).alias("_count_frac"),
+        F.round(F.col("_top._cnt") * F.col("_top._l") / F.col("_tot_ch"), 6).alias("_top_frac"),
+        F.round(F.col("_dup_ch") / F.col("_tot_ch"), 6).alias("_dup_frac"),
+    )
+    pivoted = per_n.groupBy(id_col).pivot("_n", list(all_ns)).agg(
+        F.first("_count_frac").alias("cf"),
+        F.first("_top_frac").alias("tf"),
+        F.first("_dup_frac").alias("df"),
     )
 
     return (
         ids.join(line_stats, id_col, "left")
-        .join(bg_stats, id_col, "left")
+        .join(pivoted, id_col, "left")
         .select(
             id_col,
             F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
@@ -200,7 +251,9 @@ def repetition_stats(
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("dup_line_char_frac"),
-            F.round(F.col("_top_bg") / F.col("_n_bg"), 6).alias("top_bigram_frac"),
+            F.col("2_cf").alias("top_bigram_frac"),
+            *[F.col(f"{n}_tf").alias(f"top_{n}gram_char_frac") for n in top_ns],
+            *[F.col(f"{n}_df").alias(f"dup_{n}gram_char_frac") for n in dup_ns],
         )
     )
 

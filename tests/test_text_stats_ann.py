@@ -141,6 +141,33 @@ def test_repetition_stats_hand_computed(spark):
     assert out.loc[1, "dup_line_frac"] == 0.0
     assert out.loc[1, "dup_line_char_frac"] == 0.0
     assert out.loc[2, "n_lines"] == 0 and out.loc[2, "dup_line_frac"] == 0.0
+    # Gopher n-gram family, doc 0 (words aa bb cc aa bb dd):
+    # 2-grams: 'aa bb' x2, 'bb cc', 'cc aa', 'bb dd' -> top char frac
+    # 2*5 / (5*5); no duplicated 5-gram (only 2 distinct 5-grams, each x1)
+    assert out.loc[0, "top_2gram_char_frac"] == 0.4
+    assert out.loc[0, "dup_5gram_char_frac"] == 0.0
+    # 6 words -> no 7-grams: column is null for this doc
+    assert pd.isna(out.loc[0, "dup_7gram_char_frac"])
+
+
+def test_repetition_gopher_ngram_family(spark):
+    # 17 words with 'p q r s t' repeated at positions 0/6/12 separated by
+    # unique spacers (NON-periodic, so only that gram family duplicates):
+    # 13 5-grams all 9 chars, dup mass 3*9 -> 3/13; 15 3-grams with a
+    # THREE-way count tie at 3 ('p q r','q r s','r s t') -> deterministic
+    # max(struct) tie-break picks the lexicographically largest 'r s t',
+    # frac 3*5/(15*5); top bigram count 3 of 16
+    pdf = pd.DataFrame(
+        {"doc_id": [0], "text": ["p q r s t a p q r s t b p q r s t"]}
+    )
+    out = (
+        text_stats.repetition_stats(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "dup_5gram_char_frac"] == round(3 / 13, 6)
+    assert out.loc[0, "top_3gram_char_frac"] == 0.2
+    assert out.loc[0, "top_bigram_frac"] == round(3 / 16, 6)
 
 
 def test_mask_pii(spark):

@@ -185,6 +185,51 @@ def q_ann_topk_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "item_id", F.round("cos", 4).alias("cos_r"))
 
 
+def _smooth_image(seed: int, h: int = 48, w: int = 64):
+    """Deterministic smooth RGB image (JPEG-friendly low-frequency waves)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    chans = []
+    for _ in range(3):
+        a, b, c = rng.uniform(0.02, 0.2, 3)
+        p, q = rng.uniform(0, 2 * np.pi, 2)
+        chan = 128 + 90 * np.sin(a * xx + p) * np.cos(b * yy + q) + 20 * np.sin(c * (xx + yy))
+        chans.append(chan)
+    return np.clip(np.stack(chans, axis=2), 0, 255).astype("uint8")
+
+
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over a synthesized media table: 30 smooth
+    source images x 3 encodings each (lossless PNG + baseline JPEG q90/q40,
+    all via the pure-numpy codecs), dHash + the SimHash pigeonhole
+    Hamming-ball join -> connected components.  Clusters are known BY
+    CONSTRUCTION (ids i, i+1, i+2 are re-encodings of source i//3; measured
+    hash drift <= 4 bits within a group, >= 10 bits across groups, radius
+    6), so the oracle is the closed-form cluster labeling — a real
+    value-hash gate, not a rows-only check, despite the codec work being
+    non-SQL."""
+    import pandas as pd
+
+    from string_grouper_spark.functions.codecs import encode_png
+    from string_grouper_spark.functions.jpeg import encode_jpeg
+    from string_grouper_spark.operators.multimodal import image_near_dup_clusters
+
+    rows = []
+    for s in range(30):
+        img = _smooth_image(100 + s)
+        for payload in (
+            encode_png(img),
+            encode_jpeg(img, quality=90),
+            encode_jpeg(img, quality=40),
+        ):
+            rows.append((len(rows), bytearray(payload)))
+    media = spark.createDataFrame(pd.DataFrame(rows, columns=["media_id", "payload"]))
+    out = image_near_dup_clusters(media, method="dhash", max_hamming=6, num_blocks=8)
+    return out.select("media_id", "component")
+
+
 def q_most_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/D2: per-duplicate argmax join (masters: doc_id<250, dupes: >=250).
 
@@ -543,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_blocked": q_ann_topk_blocked,
         "ann_topk_chunked": q_ann_topk_chunked,
         "ann_topk_frozen": q_ann_topk_frozen,
+        "image_dedup": q_image_dedup,
         "most_similar": q_most_similar,
         "pairwise": q_pairwise,
         "exact_dedup": q_exact_dedup,
@@ -1151,6 +1197,14 @@ _ORACLES["ann_topk_chunked"] = _ANN_TOPK_SQL
 # PrefitAnnIndex with nprobe == n_centroids probes every IVF cell — exact
 # by construction, so the frozen-index retrieval shares the same oracle
 _ORACLES["ann_topk_frozen"] = _ANN_TOPK_SQL
+
+# image_dedup's media table is synthesized deterministically (30 sources x
+# 3 re-encodings, ids consecutive), so the correct clustering is the
+# closed form below — an independent value gate on the whole decode ->
+# dHash -> Hamming-ball -> CC pipeline
+_ORACLES["image_dedup"] = r"""
+SELECT range AS media_id, (range // 3) * 3 AS component FROM range(90)
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -666,31 +666,55 @@ def simhash_candidates(
     signature kernel (see ``simhash_signatures``; 'fast' = one narrow pass,
     no shuffle before the block join).
     """
+    sigs = simhash_signatures(docs, cfg, text_col, id_col, engine=engine)
+    return hamming_ball_pairs(
+        sigs, max_hamming=max_hamming, num_blocks=num_blocks,
+        max_bucket_size=max_bucket_size, id_col=DOC, sig_col="simhash",
+    )
+
+
+def hamming_ball_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    num_blocks: int = 4,
+    max_bucket_size: Optional[int] = 1000,
+    id_col: str = DOC,
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """Generic 64-bit-signature Hamming-ball join (master_side < dupe_side)
+    — the block kernel behind ``simhash_candidates``, reusable for ANY
+    int64 signature column (text SimHash, perceptual image dHash/pHash).
+
+    Pigeonhole: any pair within Hamming distance <= num_blocks-1 shares at
+    least one of the ``num_blocks`` equal-width bit blocks, so the
+    block-equality join is EXHAUSTIVE for max_hamming <= num_blocks-1; the
+    ``bit_count`` filter then enforces the exact ball radius JVM-side.
+    """
     assert 64 % num_blocks == 0
     width = 64 // num_blocks
     mask = (1 << width) - 1
-    sigs = simhash_signatures(docs, cfg, text_col, id_col, engine=engine)
     blocks = sigs.select(
-        DOC,
-        "simhash",
+        F.col(id_col).alias(DOC),
+        F.col(sig_col).alias("_sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned("simhash", i * width).bitwiseAND(F.lit(mask)).alias("key"),
+                        F.shiftrightunsigned(sig_col, i * width).bitwiseAND(F.lit(mask)).alias("key"),
                     )
                     for i in range(num_blocks)
                 ]
             )
         ).alias("bk"),
-    ).select(DOC, "simhash", F.col("bk.blk").alias("band"), F.col("bk.key").alias("key"))
+    ).select(DOC, "_sig", F.col("bk.blk").alias("band"), F.col("bk.key").alias("key"))
     # cap via count-agg + anti-join (capped_buckets): a hot block key —
-    # e.g. the all-zero block of short/boilerplate docs — would land every
-    # member in one window task, and AQE can split joins but not windows
+    # e.g. the all-zero block of short/boilerplate docs (or flat images) —
+    # would land every member in one task, and AQE can split joins but not
+    # the downstream O(s^2) pair emission
     blocks = capped_buckets(blocks, max_bucket_size)
-    l = blocks.select("band", "key", F.col(DOC).alias(LEFT), F.col("simhash").alias("_hl"))
-    r = blocks.select("band", "key", F.col(DOC).alias(RIGHT), F.col("simhash").alias("_hr"))
+    l = blocks.select("band", "key", F.col(DOC).alias(LEFT), F.col("_sig").alias("_hl"))
+    r = blocks.select("band", "key", F.col(DOC).alias(RIGHT), F.col("_sig").alias("_hr"))
     return (
         l.join(r, ["band", "key"])
         .where(F.col(LEFT) < F.col(RIGHT))

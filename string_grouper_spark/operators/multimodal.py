@@ -141,6 +141,120 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+_HASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("img_hash", LongType(), True),
+    ]
+)
+
+
+def image_hashes(
+    media: DataFrame,
+    method: str = "dhash",
+    fake: bool = False,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual 64-bit hash per image: (media_id, img_hash).
+
+    One Arrow-batched ``mapInPandas`` pass — payload column pruning still
+    holds for metadata-only consumers (this operator is the one that pays
+    the payload read).  ``method``: 'dhash' (gradient signs, fastest) or
+    'phash' (32x32 DCT vs median, most robust to tone curves).  The codec
+    call is irreducibly per-item; everything around it is numpy.  An
+    undecodable payload yields a NULL hash (and is excluded from pairing)
+    rather than failing the scan — at web scale some fraction of crawled
+    images is always corrupt.
+    """
+    from ..functions.imagehash import dhash64, phash64
+
+    if method not in ("dhash", "phash"):
+        raise ValueError(f"method must be 'dhash' or 'phash', got {method!r}")
+    kernel = dhash64 if method == "dhash" else phash64
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for row in pdf.itertuples(index=False):
+                payload = row.payload
+                payload = payload.encode() if isinstance(payload, str) else bytes(payload)
+                try:
+                    arr = decode_image(
+                        payload,
+                        getattr(row, "width", None) or 8,
+                        getattr(row, "height", None) or 8,
+                        fake=fake,
+                    )
+                    h = kernel(arr)
+                except (ValueError, NotImplementedError):
+                    h = None
+                ids.append(getattr(row, id_col))
+                hashes.append(h)
+            yield pd.DataFrame({"media_id": ids, "img_hash": hashes})
+
+    cols = [F.col(id_col), F.col(payload_col).alias("payload")]
+    for opt in ("width", "height"):
+        if opt in media.columns:
+            cols.append(F.col(opt))
+    return media.select(*cols).mapInPandas(run, _HASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    method: str = "dhash",
+    max_hamming: int = 6,
+    num_blocks: int = 8,
+    max_bucket_size: Optional[int] = 1000,
+    fake: bool = False,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Image near-duplicate PAIRS (master_side < dupe_side): perceptual
+    hash + the text SimHash machinery's pigeonhole block join
+    (``candidates.hamming_ball_pairs`` — exhaustive for
+    max_hamming <= num_blocks-1, skew-capped, bit_count-filtered JVM-side).
+    Default radius 6/64 with 8 blocks: re-encodings of one picture at
+    different JPEG qualities land well inside; unrelated pictures sit
+    ~32 bits out."""
+    from .candidates import hamming_ball_pairs
+
+    sigs = image_hashes(
+        media, method=method, fake=fake, id_col=id_col, payload_col=payload_col
+    ).where(F.col("img_hash").isNotNull())
+    return hamming_ball_pairs(
+        sigs, max_hamming=max_hamming, num_blocks=num_blocks,
+        max_bucket_size=max_bucket_size, id_col="media_id", sig_col="img_hash",
+    )
+
+
+def image_near_dup_clusters(
+    media: DataFrame,
+    method: str = "dhash",
+    max_hamming: int = 6,
+    num_blocks: int = 8,
+    max_bucket_size: Optional[int] = 1000,
+    fake: bool = False,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Image near-dup CLUSTERING: (media_id, component), component = min id
+    — same single-linkage CC contract as the text dedup pipelines, so media
+    dedup output is interchangeable with document dedup output downstream."""
+    from .grouping import connected_components
+
+    pairs = image_near_dup_pairs(
+        media, method=method, max_hamming=max_hamming, num_blocks=num_blocks,
+        max_bucket_size=max_bucket_size, fake=fake,
+        id_col=id_col, payload_col=payload_col,
+    )
+    nodes = media.select(F.col(id_col).cast("long").alias(id_col))
+    return connected_components(
+        pairs.select(F.col("master_side").alias("u"), F.col("dupe_side").alias("v")),
+        nodes,
+    ).withColumnRenamed("node", id_col)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-JVM metadata pass — must NOT read the payload column (column
     pruning keeps the binary bytes on disk)."""

@@ -283,8 +283,9 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 # --------------------------------------------------------------------------
 
 def sniff_and_decode_image(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch to the real decoders (PNG/PPM/PGM/BMP/baseline
-    JPEG — all pure numpy); unknown formats raise loudly."""
+    """Magic-byte dispatch to the real decoders (PNG/PPM/PGM/BMP and both
+    baseline and progressive JPEG — all pure numpy); unknown formats raise
+    loudly."""
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] in (b"P6", b"P5"):
@@ -292,7 +293,7 @@ def sniff_and_decode_image(payload: bytes) -> np.ndarray:
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:3] == b"\xff\xd8\xff":
-        from .jpeg import decode_jpeg  # baseline sequential; SOF2 raises
+        from .jpeg import decode_jpeg  # baseline + progressive (SOF0/1/2)
 
         return decode_jpeg(payload)
     raise ValueError(f"unrecognized image payload (head {payload[:4]!r})")

@@ -1,15 +1,19 @@
-"""Baseline JPEG codec in pure numpy — no libjpeg/PIL.
+"""Baseline + progressive JPEG codec in pure numpy — no libjpeg/PIL.
 
-Completes the real-codec story (`functions.codecs`): baseline sequential
-DCT JPEG (SOI/APP0/DQT/SOF0/DHT/SOS/EOI), 8-bit, grayscale or YCbCr with
-4:4:4 or 4:2:0 chroma subsampling, optional restart markers on decode.
-Progressive (SOF2) and arithmetic coding raise ``NotImplementedError``.
+Completes the real-codec story (`functions.codecs`): sequential DCT JPEG
+(SOI/APP0/DQT/SOF0/DHT/SOS/EOI) AND progressive DCT JPEG (SOF2 —
+multi-scan spectral selection + successive approximation: DC first/refine
+scans, per-component AC band scans with EOB-run decoding, AC refinement
+with correction bits, per ITU-T T.81 G.1/G.2), 8-bit, grayscale or YCbCr
+with 4:4:4 or 4:2:0 chroma subsampling, optional restart markers.
+Arithmetic coding and lossless JPEG raise ``NotImplementedError``.
 
-The encoder exists so tests can synthesize deterministic payloads and
-assert lossy round-trip quality (decode(encode(x, q=90)) ~ x within a
-mean-abs-error bound) — JPEG is lossy, so exact equality is impossible by
-design; component-level tests pin the DCT matrix, the zigzag order, and
-the Annex-K tables structurally instead.
+The encoders exist so tests can synthesize deterministic payloads:
+``encode_jpeg`` (baseline) asserts lossy round-trip quality bounds, and
+``encode_jpeg_progressive`` emits a real SOF2 multi-scan stream whose
+decode must EXACTLY equal the baseline decode of the same image at the
+same quality (both reconstruct identical quantized coefficients), pinning
+every progressive scan kind without an external encoder in the sandbox.
 
 Entropy decode is a per-symbol python loop (JPEG's huffman stream is
 inherently sequential); block math (DCT/IDCT/quantization) is vectorized
@@ -355,12 +359,402 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False) -> 
     return bytes(out)
 
 
+def _enc_dc_first(w: _BitWriter, zz0: int, pred: int, al: int, dc_codes) -> int:
+    """DC first scan: diff-code the point-transformed DC (T.81 G.1.2.1 —
+    DC point transform is an ARITHMETIC shift, unlike AC's magnitude
+    shift).  Returns the new predictor."""
+    v = int(zz0) >> al
+    diff = v - pred
+    t = _category(diff)
+    code, ln = dc_codes[t]
+    w.write(code, ln)
+    if t:
+        w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    return v
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: magnitude shift, sign kept (T.81 G.1.2.2)."""
+    return (abs(int(v)) >> al) * (1 if v >= 0 else -1)
+
+
+def _enc_ac_first(w: _BitWriter, zz: np.ndarray, ss: int, se: int, al: int, ac_codes) -> None:
+    """AC band, first scan.  EOB runs are never accumulated across blocks
+    (every block ends with EOB0 when it has trailing zeros), so the
+    Annex-K tables — which lack the EOBn (r>0, s=0) symbols — suffice."""
+    run = 0
+    for k in range(ss, se + 1):
+        t = _pt_ac(zz[k], al)
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            w.write(code, ln)
+            run -= 16
+        s = _category(t)
+        code, ln = ac_codes[(run << 4) | s]
+        w.write(code, ln)
+        w.write(t if t >= 0 else t + (1 << s) - 1, s)
+        run = 0
+    if run > 0:
+        code, ln = ac_codes[0x00]  # EOB0
+        w.write(code, ln)
+
+
+def _enc_ac_refine(w: _BitWriter, zz: np.ndarray, ss: int, se: int, al: int, ac_codes) -> None:
+    """AC band, successive-approximation refinement (T.81 G.1.2.3, the
+    libjpeg-equivalent correction-bit algorithm): newly-significant
+    coefficients (|coef|>>al == 1) emit (run, 1) symbols + a sign bit;
+    already-nonzero coefficients contribute one buffered correction bit,
+    flushed after the next emitted symbol (the decoder consumes them while
+    advancing).  EOB runs are again per-block (EOB0 only)."""
+    vals = [(abs(int(zz[k])) >> al) for k in range(ss, se + 1)]
+    eob = -1  # index (into band) of the last NEWLY-significant coefficient
+    for i, t in enumerate(vals):
+        if t == 1:
+            eob = i
+    run = 0
+    br: list = []
+
+    def flush_br():
+        for b in br:
+            w.write(b, 1)
+        br.clear()
+
+    for i, t in enumerate(vals):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob:
+            code, ln = ac_codes[0xF0]
+            w.write(code, ln)
+            run -= 16
+            flush_br()
+        if t > 1:  # history coefficient: correction bit only
+            br.append(t & 1)
+            continue
+        # newly significant (t == 1)
+        code, ln = ac_codes[(run << 4) | 1]
+        w.write(code, ln)
+        w.write(1 if zz[ss + i] >= 0 else 0, 1)
+        flush_br()
+        run = 0
+    if run > 0 or br:
+        code, ln = ac_codes[0x00]  # EOB0: rest of band is runs + corrections
+        w.write(code, ln)
+        flush_br()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """uint8 (h,w) grayscale or (h,w,3) RGB -> PROGRESSIVE (SOF2) JFIF.
+
+    Scan script (exercises every progressive scan kind the decoder
+    implements, with successive approximation Al=1 -> 0):
+
+      1. interleaved DC first scan       (Ss=0, Se=0, Ah=0, Al=1)
+      2. per component: AC first scan    (Ss=1, Se=63, Ah=0, Al=1)
+      3. interleaved DC refinement       (Ss=0, Se=0, Ah=1, Al=0)
+      4. per component: AC refinement    (Ss=1, Se=63, Ah=1, Al=0)
+
+    The quantized coefficients reconstructed by the decoder are EXACTLY the
+    baseline encoder's at the same quality, so
+    ``decode_jpeg(encode_jpeg_progressive(x, q)) ==
+    decode_jpeg(encode_jpeg(x, q))`` bit-for-bit — the in-sandbox
+    round-trip oracle for the progressive path."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ql, qc = _quality_tables(quality)
+
+    if gray:
+        planes = [(img.astype(np.float64), ql, 1, 1)]
+    else:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            H2, W2 = (h + 1) & ~1, (w + 1) & ~1
+
+            def half(p):
+                pp = np.pad(p, ((0, H2 - h), (0, W2 - w)), mode="edge")
+                return pp.reshape(H2 // 2, 2, W2 // 2, 2).mean(axis=(1, 3))
+
+            planes = [(y, ql, 2, 2), (half(cb), qc, 1, 1), (half(cr), qc, 1, 1)]
+        else:
+            planes = [(y, ql, 1, 1), (cb, qc, 1, 1), (cr, qc, 1, 1)]
+
+    ncomp = 1 if gray else 3
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, tab in ((0, ql), (1, qc)) if not gray else ((0, ql),):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(v) for v in tab.reshape(64)[ZIGZAG])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)  # SOF2
+    for i, (_, _, hs, vs) in enumerate(planes):
+        out += struct.pack("BBB", i + 1, (hs << 4) | vs, 0 if i == 0 else 1)
+    for cls, tid, (bits, vals) in (
+        (0, 0, DC_LUM), (1, 0, AC_LUM), (0, 1, DC_CHROM), (1, 1, AC_CHROM)
+    )[: 2 if gray else 4]:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (cls << 4) | tid)
+        out += bytes(bits) + bytes(vals)
+
+    dc_codes = [_huff_codes(*DC_LUM)] + [_huff_codes(*DC_CHROM)] * (ncomp - 1)
+    ac_codes = [_huff_codes(*AC_LUM)] + [_huff_codes(*AC_CHROM)] * (ncomp - 1)
+    comp_blocks = []
+    for plane, qtab, hs, vs in planes:
+        blocks, bh, bw = _blockify(plane)
+        comp_blocks.append((_encode_plane_blocks(blocks, qtab), bh, bw, hs, vs))
+    hmax = max(p[3] for p in comp_blocks)
+    vmax = max(p[4] for p in comp_blocks)
+    mcu_rows = (h + 8 * vmax - 1) // (8 * vmax)
+    mcu_cols = (w + 8 * hmax - 1) // (8 * hmax)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        seg = bytearray()
+        seg += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        for ci in comp_ids:
+            # DC table id in high nibble, AC in low — same table layout as
+            # the baseline writer (luma tables 0, chroma tables 1)
+            seg += struct.pack("BB", ci + 1, 0x00 if ci == 0 else 0x11)
+        seg += struct.pack("BBB", ss, se, (ah << 4) | al)
+        return seg
+
+    def iter_mcu_blocks(ci):
+        zzs, bh, bw, hs, vs = comp_blocks[ci]
+        for my in range(mcu_rows):
+            for mx in range(mcu_cols):
+                for by in range(vs):
+                    for bx in range(hs):
+                        r = min(my * vs + by, bh - 1)
+                        c = min(mx * hs + bx, bw - 1)
+                        yield zzs[r * bw + c]
+
+    # scan 1: interleaved DC first (Al=1)
+    out += sos_header(list(range(ncomp)), 0, 0, 0, 1)
+    wtr = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            for ci in range(ncomp):
+                zzs, bh, bw, hs, vs = comp_blocks[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        r = min(my * vs + by, bh - 1)
+                        c = min(mx * hs + bx, bw - 1)
+                        preds[ci] = _enc_dc_first(
+                            wtr, zzs[r * bw + c][0], preds[ci], 1, dc_codes[ci]
+                        )
+    out += wtr.flush()
+
+    # scans 2..: per-component AC first (Al=1), non-interleaved ceil-grid
+    for ci in range(ncomp):
+        zzs, bh, bw, hs, vs = comp_blocks[ci]
+        out += sos_header([ci], 1, 63, 0, 1)
+        wtr = _BitWriter()
+        for zz in zzs:  # _blockify grid IS the component's ceil-grid
+            _enc_ac_first(wtr, zz, 1, 63, 1, ac_codes[ci])
+        out += wtr.flush()
+
+    # DC refinement (interleaved, raw bits)
+    out += sos_header(list(range(ncomp)), 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            for ci in range(ncomp):
+                zzs, bh, bw, hs, vs = comp_blocks[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        r = min(my * vs + by, bh - 1)
+                        c = min(mx * hs + bx, bw - 1)
+                        wtr.write(int(zzs[r * bw + c][0]) & 1, 1)
+    out += wtr.flush()
+
+    # per-component AC refinement (Al=0)
+    for ci in range(ncomp):
+        zzs, bh, bw, hs, vs = comp_blocks[ci]
+        out += sos_header([ci], 1, 63, 1, 0)
+        wtr = _BitWriter()
+        for zz in zzs:
+            _enc_ac_refine(wtr, zz, 1, 63, 0, ac_codes[ci])
+        out += wtr.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
 
+def _dec_ac_first(reader, zz, act, ks: int, se: int, al: int, eobrun: list) -> None:
+    """AC coefficients, first scan of the band (T.81 G.2 / F.2.2.2 with
+    EOB-run extension).  In a baseline full scan (ks=1, se=63, al=0) the
+    only EOB symbol that appears is EOB0, so this reduces exactly to the
+    sequential AC decode."""
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ks
+    while k <= se:
+        sym = reader.huff(act)
+        r, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun[0] = (1 << r) - 1  # EOBn: run includes this block
+            if r:
+                eobrun[0] += reader.bits(r)
+            return
+        k += r
+        if k > se:
+            raise ValueError("AC index overrun")
+        zz[k] = _extend(reader.bits(s), s) << al
+        k += 1
+
+
+def _dec_ac_refine(reader, zz, act, ks: int, se: int, al: int, eobrun: list) -> None:
+    """AC successive-approximation refinement scan (T.81 G.2): newly
+    significant coefficients arrive as ±1<<al; every already-nonzero
+    coefficient passed on the way consumes one correction bit that may add
+    1<<al toward larger magnitude.  All history values are multiples of
+    1<<al, so the two's-complement ``& p1`` test reads the pending bit
+    exactly for either sign."""
+    p1, m1 = 1 << al, -1 << al
+    k = ks
+    if eobrun[0] == 0:
+        while k <= se:
+            sym = reader.huff(act)
+            r, s = sym >> 4, sym & 0xF
+            s_val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun[0] = 1 << r
+                    if r:
+                        eobrun[0] += reader.bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions below
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan symbol with s > 1")
+                s_val = p1 if reader.bits(1) else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.bits(1) and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s_val and k <= se:
+                zz[k] = s_val
+            k += 1
+    if eobrun[0] > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if reader.bits(1) and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun[0] -= 1
+
+
+def _decode_scan(
+    payload: bytes,
+    start: int,
+    comps: list,
+    scan_comps: list,
+    htabs: Dict,
+    restart_interval: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    h: int,
+    w: int,
+    hmax: int,
+    vmax: int,
+) -> int:
+    """Decode ONE entropy-coded scan (baseline full scan or any progressive
+    scan kind); returns the payload offset of the next marker."""
+    reader = _BitReader(payload)
+    reader.pos = start
+    preds = [0] * len(scan_comps)
+    eobrun = [0]
+
+    def restart_sync():
+        reader.align_to_marker()
+        p = reader.pos
+        while p + 1 < len(payload) and not (
+            payload[p] == 0xFF and 0xD0 <= payload[p + 1] <= 0xD7
+        ):
+            p += 1
+        reader.pos = p + 2
+        preds[:] = [0] * len(scan_comps)
+        eobrun[0] = 0
+
+    def decode_block(ci: int, c: dict, zz) -> None:
+        if ss == 0:  # DC (progressive DC-only scan, or baseline's k=0)
+            if ah == 0:
+                t = reader.huff(htabs[(0, c["dc"])])
+                preds[ci] += _extend(reader.bits(t), t)
+                zz[0] = preds[ci] << al
+            else:  # DC refinement: one raw bit per block
+                if reader.bits(1):
+                    zz[0] |= 1 << al
+        if se > 0:
+            act = htabs[(1, c["ac"])]
+            ks = max(ss, 1)
+            if ah == 0:
+                _dec_ac_first(reader, zz, act, ks, se, al, eobrun)
+            else:
+                _dec_ac_refine(reader, zz, act, ks, se, al, eobrun)
+
+    unit = 0  # restart counting: MCUs (interleaved) or blocks
+    if len(scan_comps) > 1:  # interleaved (baseline, or progressive DC)
+        mcu_rows = (h + 8 * vmax - 1) // (8 * vmax)
+        mcu_cols = (w + 8 * hmax - 1) // (8 * hmax)
+        for my in range(mcu_rows):
+            for mx in range(mcu_cols):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    restart_sync()
+                unit += 1
+                for ci, c in enumerate(scan_comps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zz = c["zz"][(my * c["v"] + by) * c["bw"] + mx * c["h"] + bx]
+                            decode_block(ci, c, zz)
+    else:  # non-interleaved: the component's own ceil-grid, row-major
+        c = scan_comps[0]
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        nbw, nbh = -(-cw // 8), -(-ch // 8)
+        for r in range(nbh):
+            for col in range(nbw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    restart_sync()
+                unit += 1
+                decode_block(0, c, c["zz"][r * c["bw"] + col])
+
+    # advance to the next marker (skip pad bits and any trailing RSTs)
+    p = reader.pos
+    while p + 1 < len(payload):
+        if payload[p] == 0xFF and payload[p + 1] != 0x00:
+            if 0xD0 <= payload[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return len(payload)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> uint8 (h,w) or (h,w,3) RGB."""
+    """Baseline OR progressive JFIF bytes -> uint8 (h,w) or (h,w,3) RGB."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -368,8 +762,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htabs: Dict[Tuple[int, int], Dict] = {}
     comps = None
     h = w = 0
+    hmax = vmax = 1
     restart_interval = 0
-    scan = None
+    got_scan = False
     while pos < len(payload):
         if payload[pos] != 0xFF:
             pos += 1
@@ -401,78 +796,49 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + n])
                 htabs[(cls, tid)] = _huff_decoder(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             _prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             comps = []
             for i in range(nc):
                 cid, sf, qid = struct.unpack_from("BBB", body, 6 + 3 * i)
                 comps.append({"id": cid, "h": sf >> 4, "v": sf & 0xF, "q": qid})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("non-baseline JPEG (progressive/arithmetic)")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcu_rows = (h + 8 * vmax - 1) // (8 * vmax)
+            mcu_cols = (w + 8 * hmax - 1) // (8 * hmax)
+            for c in comps:
+                c["bw"] = mcu_cols * c["h"]
+                c["bh"] = mcu_rows * c["v"]
+                c["zz"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("unsupported JPEG (lossless/arithmetic)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode this scan, then keep parsing
+            if comps is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = body[0]
+            scan_comps = []
             for i in range(ns):
                 cid, tids = body[1 + 2 * i], body[2 + 2 * i]
                 for c in comps:
                     if c["id"] == cid:
                         c["dc"] = tids >> 4
                         c["ac"] = tids & 0xF
-            scan = payload[pos + seglen :]
-            break
+                        scan_comps.append(c)
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            pos = _decode_scan(
+                payload, pos + seglen, comps, scan_comps, htabs,
+                restart_interval, ss, se, ahal >> 4, ahal & 0xF,
+                h, w, hmax, vmax,
+            )
+            got_scan = True
+            continue
         pos += seglen
-    if comps is None or scan is None:
+    if comps is None or not got_scan:
         raise ValueError("JPEG missing SOF/SOS")
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcu_rows = (h + 8 * vmax - 1) // (8 * vmax)
-    mcu_cols = (w + 8 * hmax - 1) // (8 * hmax)
-    for c in comps:
-        c["bw"] = mcu_cols * c["h"]
-        c["bh"] = mcu_rows * c["v"]
-        c["zz"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
-
-    reader = _BitReader(scan)
-    preds = [0] * len(comps)
-    mcu_index = 0
-    for my in range(mcu_rows):
-        for mx in range(mcu_cols):
-            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                reader.align_to_marker()
-                p = reader.pos
-                while p + 1 < len(reader.data) and not (
-                    reader.data[p] == 0xFF and 0xD0 <= reader.data[p + 1] <= 0xD7
-                ):
-                    p += 1
-                reader.pos = p + 2
-                preds = [0] * len(comps)
-            mcu_index += 1
-            for ci, c in enumerate(comps):
-                dct = htabs[(0, c["dc"])]
-                act = htabs[(1, c["ac"])]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = c["zz"][(my * c["v"] + by) * c["bw"] + mx * c["h"] + bx]
-                        t = reader.huff(dct)
-                        diff = _extend(reader.bits(t), t)
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k <= 63:
-                            sym = reader.huff(act)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += sym >> 4
-                            if k > 63:
-                                raise ValueError("AC index overrun")
-                            t = sym & 0xF
-                            zz[k] = _extend(reader.bits(t), t)
-                            k += 1
 
     planes = []
     for c in comps:

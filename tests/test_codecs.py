@@ -253,14 +253,120 @@ def test_jpeg_quality_monotone():
     assert maes[0] < maes[1] < maes[2]
 
 
-def test_jpeg_via_sniff_dispatch_and_progressive_raises():
+def test_jpeg_via_sniff_dispatch_and_arithmetic_raises():
     from string_grouper_spark.functions.jpeg import encode_jpeg
 
     img = _smooth(16, 16, seed=6)
     payload = encode_jpeg(img, quality=92)
     got = codecs.sniff_and_decode_image(payload)
     assert np.abs(got.astype(float) - img.astype(float)).mean() < 4.0
-    # flip SOF0 -> SOF2 (progressive): must raise, not mis-decode
-    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    # flip SOF0 -> SOF9 (arithmetic-coded): the remaining honest stub —
+    # must raise, not mis-decode.  (SOF2 progressive now decodes for real;
+    # see test_progressive_* below.)
+    arith = payload.replace(b"\xff\xc0", b"\xff\xc9", 1)
     with pytest.raises(NotImplementedError):
-        codecs.sniff_and_decode_image(prog)
+        codecs.sniff_and_decode_image(arith)
+
+
+@pytest.mark.parametrize(
+    "shape,subsample", [("gray", False), ("rgb", False), ("rgb", True)]
+)
+@pytest.mark.parametrize("quality", [90, 50])
+def test_progressive_roundtrip_equals_baseline(shape, subsample, quality):
+    # encode_jpeg_progressive emits a real SOF2 multi-scan stream (DC
+    # first Al=1, per-comp AC first Al=1, DC refine, per-comp AC refine);
+    # the decoder must reconstruct EXACTLY the baseline coefficients, so
+    # the decoded pixels are bit-identical to the baseline path
+    from string_grouper_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    if shape == "gray":
+        img = _smooth(40, 56, seed=9)
+    else:
+        img = np.stack([_smooth(40, 56, seed=9 + i) for i in range(3)], axis=2)
+    base = decode_jpeg(encode_jpeg(img, quality=quality, subsample=subsample))
+    payload = encode_jpeg_progressive(img, quality=quality, subsample=subsample)
+    assert b"\xff\xc2" in payload  # really SOF2
+    prog = decode_jpeg(payload)
+    assert np.array_equal(base, prog)
+    # and the sniff dispatch handles progressive payloads
+    assert np.array_equal(codecs.sniff_and_decode_image(payload), base)
+
+
+def test_progressive_eobrun_fixture():
+    # spec-constructed stream covering the EOBn (run > 1) decode path the
+    # in-repo encoder never emits: 16x16 gray, quant all-ones, DC scan of
+    # zeros, then one AC scan where block 1 starts an EOBRUN of 2 (EOB1 +
+    # one 0 extension bit) covering blocks 1-2, with a custom huffman
+    # table that actually contains the 0x10 symbol (Annex K tables don't)
+    import struct as _struct
+
+    from string_grouper_spark.functions.jpeg import (
+        DC_LUM,
+        ZIGZAG,
+        _BitWriter,
+        _huff_codes,
+        dct_matrix,
+        decode_jpeg,
+    )
+
+    ac_bits = [0, 0, 4] + [0] * 13  # four 3-bit codes
+    ac_vals = [0x00, 0x03, 0x10, 0x12]
+    dc_codes = _huff_codes(*DC_LUM)
+    ac_codes = _huff_codes(ac_bits, ac_vals)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xdb" + _struct.pack(">HB", 67, 0) + bytes([1] * 64)
+    out += b"\xff\xc2" + _struct.pack(">HBHHB", 11, 8, 16, 16, 1)
+    out += _struct.pack("BBB", 1, 0x11, 0)
+    out += b"\xff\xc4" + _struct.pack(">HB", 19 + 12, 0x00)
+    out += bytes(DC_LUM[0]) + bytes(DC_LUM[1])
+    out += b"\xff\xc4" + _struct.pack(">HB", 19 + 4, 0x10)
+    out += bytes(ac_bits) + bytes(ac_vals)
+    # scan 1: DC first, Al=0, all four DC diffs = 0 (category-0 symbol)
+    out += b"\xff\xda" + _struct.pack(">HB", 8, 1) + _struct.pack("BBBBB", 1, 0x00, 0, 0, 0)
+    w = _BitWriter()
+    for _ in range(4):
+        code, ln = dc_codes[0]
+        w.write(code, ln)
+    out += w.flush()
+    # scan 2: AC first, band 1..63, Ah=Al=0
+    out += b"\xff\xda" + _struct.pack(">HB", 8, 1) + _struct.pack("BBBBB", 1, 0x00, 1, 63, 0)
+    w = _BitWriter()
+    code, ln = ac_codes[0x03]  # block 0: k=1 gets category-3 value 5
+    w.write(code, ln)
+    w.write(5, 3)
+    code, ln = ac_codes[0x00]  # EOB0 ends block 0
+    w.write(code, ln)
+    code, ln = ac_codes[0x10]  # EOB1: run = (1<<1) + bits(1)=0 -> blocks 1,2
+    w.write(code, ln)
+    w.write(0, 1)
+    code, ln = ac_codes[0x12]  # block 3: skip 1 zero, k=2 category-2 = -3
+    w.write(code, ln)
+    w.write(0b00, 2)  # extend(-3): -3 + (1<<2) - 1 = 0
+    code, ln = ac_codes[0x00]
+    w.write(code, ln)
+    out += w.flush()
+    out += b"\xff\xd9"
+
+    got = decode_jpeg(bytes(out))
+    # expected: IDCT of the planned coefficients (natural order via ZIGZAG)
+    C = dct_matrix()
+    want = np.zeros((16, 16))
+    for bi, (r, c) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        zz = np.zeros(64)
+        if bi == 0:
+            zz[1] = 5
+        if bi == 3:
+            zz[2] = -3
+        nat = np.zeros(64)
+        nat[ZIGZAG] = zz
+        block = C.T @ nat.reshape(8, 8) @ C
+        want[8 * r : 8 * r + 8, 8 * c : 8 * c + 8] = np.clip(
+            np.round(block + 128), 0, 255
+        )
+    assert np.array_equal(got, want.astype(np.uint8))

@@ -161,6 +161,24 @@ def main() -> None:
     counters["ann_recall_lsh_clustered_pct"] = round(
         100.0 * len(ce & cl) / max(1, len(ce)), 2
     )
+    # round-5: the RETRIEVAL shape (query batch vs frozen index) on the same
+    # clustered set — unseen queries drawn from the same centroids, exact
+    # reference via cosine_topk_blocked with explicit queries (keeps
+    # self-pairs; the frozen index does too, so the sets compare directly)
+    qvecs = cents[:50] + 0.15 * rng.normal(size=(50, 64))
+    qdf = spark.createDataFrame(
+        [(10_000 + i, [float(x) for x in v]) for i, v in enumerate(qvecs)],
+        "vec_id long, embedding array<double>",
+    )
+    fexact = ann.cosine_topk_blocked(cdf, qdf, k=10).toPandas()
+    fidx = ann.PrefitAnnIndex(cdf, method="lsh", dim=64)
+    fgot = fidx.topk(qdf, k=10).toPandas()
+    fidx.unpersist()
+    fe = set(zip(fexact.query_id, fexact.item_id))
+    fg = set(zip(fgot.query_id, fgot.item_id))
+    counters["ann_recall_frozen_lsh_pct"] = round(
+        100.0 * len(fe & fg) / max(1, len(fe)), 2
+    )
     cdf.unpersist()
     timed(
         "text_stats",

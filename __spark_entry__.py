@@ -185,6 +185,27 @@ def q_ann_topk_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "item_id", F.round("cos", 4).alias("cos_r"))
 
 
+def q_self_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-batch pairing in a frozen corpus feature space
+    (PrefitLshMatcher.match_self — the round-5 intra-stream gap kernel):
+    vocabulary/IDF from doc_id < 250 only, pairs among doc_id >= 250 with
+    master_side < dupe_side.  The oracle mirrors the frozen-IDF weighting
+    and takes the exact batch-internal pair set."""
+    from string_grouper_spark.plans.fast_dedup import PrefitLshMatcher
+
+    docs = _docs(spark, sf_dir)
+    m = PrefitLshMatcher(
+        docs.where(F.col("doc_id") < 250), _cfg(0.5),
+        num_perm=128, num_bands=64, max_bucket_size=None,
+    )
+    out = m.match_self(docs.where(F.col("doc_id") >= 250))
+    return out.select(
+        F.col(LEFT).alias("left_id"),
+        F.col(RIGHT).alias("right_id"),
+        F.round(SIM, R).alias("sim_r"),
+    )
+
+
 def _smooth_image(seed: int, h: int = 48, w: int = 64):
     """Deterministic smooth RGB image (JPEG-friendly low-frequency waves)."""
     import numpy as np
@@ -589,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_chunked": q_ann_topk_chunked,
         "ann_topk_frozen": q_ann_topk_frozen,
         "image_dedup": q_image_dedup,
+        "self_match": q_self_match,
         "most_similar": q_most_similar,
         "pairwise": q_pairwise,
         "exact_dedup": q_exact_dedup,
@@ -813,6 +835,40 @@ p AS (SELECT w.doc_id, w.gram, w.w/l2.nrm AS wn FROM w JOIN l2 USING (doc_id)),
 simpairs AS (
   SELECT a.doc_id AS l, b.doc_id AS r, sum(a.wn*b.wn) AS s
   FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < 250 AND b.doc_id >= 250
+  GROUP BY 1, 2
+  HAVING sum(a.wn*b.wn) >= 0.5
+)
+SELECT l AS left_id, r AS right_id, round(s, 6) AS sim_r FROM simpairs
+"""
+
+# same frozen-IDF weighting as frozen_match, pairs WITHIN the batch side
+_ORACLES["self_match"] = r"""
+WITH docs AS (
+  SELECT doc_id, regexp_replace(lower(text), '[,-./]|\s', '', 'g') AS norm
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, substring(norm, i, 3) AS gram
+  FROM docs, LATERAL (SELECT unnest(generate_series(1, length(norm)-2)) AS i) t
+  WHERE length(norm) >= 3
+),
+tf AS (SELECT doc_id, gram, count(*)::DOUBLE AS tf FROM grams GROUP BY 1,2),
+dfreq AS (
+  SELECT gram, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM grams WHERE doc_id < 250 GROUP BY 1
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM docs WHERE doc_id < 250),
+w AS (
+  SELECT tf.doc_id, tf.gram, tf.tf * (ln((1+n.n)/(1+dfreq.df))+1) AS w
+  FROM tf JOIN dfreq USING (gram) CROSS JOIN n
+),
+l2 AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY 1),
+p AS (SELECT w.doc_id, w.gram, w.w/l2.nrm AS wn FROM w JOIN l2 USING (doc_id)),
+simpairs AS (
+  SELECT a.doc_id AS l, b.doc_id AS r, sum(a.wn*b.wn) AS s
+  FROM p a JOIN p b
+    ON a.gram = b.gram AND a.doc_id >= 250 AND b.doc_id >= 250
+   AND a.doc_id < b.doc_id
   GROUP BY 1, 2
   HAVING sum(a.wn*b.wn) >= 0.5
 )

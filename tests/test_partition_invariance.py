@@ -97,3 +97,55 @@ def test_bipartite_fast_plan_invariant_to_partitioning(spark, docs):
         ).toPandas()
         outs.append(canon(pairs))
     pdt.assert_frame_equal(outs[0], outs[1])
+
+
+def test_prefit_ann_topk_invariant_to_partitioning(spark):
+    # the retrieval kernel's (query, item) pair set must not depend on how
+    # items or queries are partitioned: scores are max-aggregated per pair
+    # (deterministic kept score) and the final top-k orders by
+    # (cos desc, item_id), so k-th ties resolve identically
+    from string_grouper_spark.operators.ann import PrefitAnnIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 25)
+    outs = []
+    for it_parts, q_parts in ((1, 1), (16, 3)):
+        idx = PrefitAnnIndex(
+            emb.repartition(it_parts), method="ivf", n_centroids=8, nprobe=8
+        )
+        got = idx.topk(qs.repartition(q_parts), k=4).toPandas()
+        idx.unpersist()
+        outs.append(
+            got.sort_values(["query_id", "item_id"]).reset_index(drop=True)
+        )
+    pdt.assert_frame_equal(outs[0][["query_id", "item_id"]], outs[1][["query_id", "item_id"]])
+    import numpy as np
+
+    assert np.allclose(outs[0].cos.to_numpy(), outs[1].cos.to_numpy(), atol=1e-12)
+
+
+def test_image_clusters_invariant_to_partitioning(spark):
+    import numpy as np
+    import pandas as pd
+
+    from string_grouper_spark.functions.codecs import encode_png
+    from string_grouper_spark.functions.jpeg import encode_jpeg
+    from string_grouper_spark.operators.multimodal import image_near_dup_clusters
+
+    rng = np.random.RandomState(2)
+    rows = []
+    for src in range(3):
+        yy, xx = np.mgrid[0:32, 0:32].astype(float)
+        img = np.clip(
+            128 + 90 * np.sin(0.05 * (src + 1) * xx) * np.cos(0.07 * yy), 0, 255
+        ).astype(np.uint8)
+        img = np.stack([img] * 3, axis=2)
+        for payload in (encode_png(img), encode_jpeg(img, quality=85)):
+            rows.append((len(rows), bytearray(payload)))
+    pdf = pd.DataFrame(rows, columns=["media_id", "payload"])
+    outs = []
+    for nparts in (1, 8):
+        media = spark.createDataFrame(pdf).repartition(nparts)
+        out = image_near_dup_clusters(media, max_hamming=6).toPandas()
+        outs.append(out.sort_values("media_id").reset_index(drop=True))
+    pdt.assert_frame_equal(outs[0], outs[1])

@@ -178,3 +178,51 @@ def test_bucketed_ann_scores_inside_buckets(spark):
         # per-plane interpreted scoring would show as aggregate lambdas on
         # the unit arrays; the only python stages are the two Arrow passes
         assert "zip_with" not in plan and "aggregate(" not in plan, plan
+
+
+def test_prefit_ann_index_topk_plan_shape(spark):
+    # the round-5 retrieval kernel: corpus side pruned to TOUCHED buckets
+    # via a broadcast semi-join of the query batch's keys, scoring inside
+    # each bucket (FlatMapGroupsInPandas) — never a pair join shipping
+    # dim-length arrays; the finish is a slim max-agg + window
+    from string_grouper_spark.operators.ann import PrefitAnnIndex
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = PrefitAnnIndex(emb, method="lsh", num_tables=4, planes_per_table=6)
+    out = idx.topk(emb.where(F.col("vec_id") < 20), k=3)
+    plan = plan_of(out)
+    idx.unpersist()
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "LeftSemi" in plan, plan  # corpus pruned to touched buckets
+    assert "BroadcastExchange" in plan, plan
+    assert "zip_with" not in plan and "aggregate(" not in plan, plan
+
+
+def test_image_hash_pipeline_prunes_metadata_only_consumers(spark, tmp_path):
+    # payload column pruning must survive alongside the hash operator: a
+    # metadata-only aggregation over the same media table never reads the
+    # binary payload bytes from parquet
+    import pandas as pd
+
+    from string_grouper_spark.functions.codecs import encode_png
+    from string_grouper_spark.operators.multimodal import image_hashes
+    import numpy as np
+
+    img = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+    pdf = pd.DataFrame(
+        {"media_id": [0, 1], "payload": [bytearray(encode_png(img))] * 2,
+         "width": [8, 8]}
+    )
+    path = f"{tmp_path}/media"
+    spark.createDataFrame(pdf).write.parquet(path)
+    media = spark.read.parquet(path)
+    # the hash pass itself must read payload (it pays the decode)
+    hashes = image_hashes(media)
+    assert hashes.count() == 2
+    # but a metadata-only projection over the same table must not
+    meta = media.groupBy().agg(F.avg("width").alias("w"))
+    plan = plan_of(meta)
+    import re as _re
+
+    read_schema = _re.findall(r"ReadSchema: \S+", plan)
+    assert read_schema and all("payload" not in s for s in read_schema), plan

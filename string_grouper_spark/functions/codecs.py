@@ -12,10 +12,12 @@ standard library and numpy:
     8-bit gray/RGB/RGBA (the overwhelming web-PNG case);
   * WAV — stdlib ``wave`` -> int16/uint8 PCM samples + sample rate.
 
-Baseline (sequential DCT) JPEG also decodes for real via the pure-numpy
-codec in ``functions.jpeg`` (``sniff_and_decode_image`` dispatches on the
-SOI magic).  The only formats that still raise ``NotImplementedError``
-are video containers and arithmetic-coded JPEG — the stub surface is now
+Baseline AND progressive (SOF2) JPEG also decode for real via the
+pure-numpy codec in ``functions.jpeg`` (``sniff_and_decode_image``
+dispatches on the SOI magic), and MJPEG-in-AVI video decodes via the RIFF
+walk below.  The only formats that still raise ``NotImplementedError``
+are arithmetic-coded/lossless JPEG and non-AVI video containers
+(MP4/MKV/WebM — H.26x/VP9 entropy machinery) — the stub surface is now
 only where the container truly lacks the capability.
 
 Encoders for PPM/BMP/PNG/WAV are included so tests can synthesize
@@ -238,6 +240,111 @@ def encode_png(img: np.ndarray) -> bytes:
         + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
+
+
+# --------------------------------------------------------------------------
+# AVI / MJPEG video (RIFF container walk + the pure-numpy JPEG codec)
+# --------------------------------------------------------------------------
+
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_size) over a RIFF chunk run."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def decode_avi_mjpeg(payload: bytes) -> np.ndarray:
+    """Motion-JPEG AVI -> uint8 (n_frames, h, w, 3) RGB.
+
+    The one video container this sandbox can decode for REAL: RIFF walk to
+    the ``movi`` list, every ``..dc``/``..db`` chunk that starts with a
+    JPEG SOI runs through ``functions.jpeg.decode_jpeg`` (baseline or
+    progressive).  Other codecs inside AVI, and non-RIFF containers
+    (MP4/MKV/WebM — all need H.26x/VP9 entropy machinery), still raise
+    ``NotImplementedError``."""
+    from .jpeg import decode_jpeg
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    frames = []
+    saw_video_chunk = False
+
+    def walk(start: int, end: int) -> None:
+        nonlocal saw_video_chunk
+        for fourcc, body, size in _riff_chunks(payload, start, end):
+            if fourcc == b"LIST":
+                walk(body + 4, body + size)  # skip the list-type fourcc
+            elif fourcc[2:4] in (b"dc", b"db") and size > 0:
+                saw_video_chunk = True
+                chunk = payload[body : body + size]
+                if chunk[:2] == b"\xff\xd8":
+                    img = decode_jpeg(chunk)
+                    if img.ndim == 2:
+                        img = np.stack([img] * 3, axis=2)
+                    frames.append(img)
+                else:
+                    raise NotImplementedError(
+                        "AVI video chunk is not MJPEG (needs an external codec)"
+                    )
+
+    walk(12, len(payload))
+    if not frames:
+        raise ValueError(
+            "AVI has no decodable video frames"
+            if saw_video_chunk
+            else "AVI contains no video chunks"
+        )
+    return np.stack(frames)
+
+
+def encode_avi_mjpeg(frames: np.ndarray, fps: int = 10, quality: int = 85) -> bytes:
+    """(n, h, w, 3) or (n, h, w) uint8 -> minimal MJPEG AVI (RIFF/hdrl/movi
+    + idx1), each frame a baseline JPEG — so tests can synthesize real video
+    payloads and pin decode(encode(x)) == per-frame JPEG round-trip exactly."""
+    from .jpeg import encode_jpeg
+
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim == 3:  # grayscale -> RGB
+        frames = np.stack([frames] * 3, axis=3)
+    n, h, w = frames.shape[:3]
+    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    usec_per_frame = max(1, 1_000_000 // max(1, fps))
+    max_bytes = max(len(p) for p in payloads)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec_per_frame, max_bytes * fps, 0, 0x10,  # HASINDEX
+        n, 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, max_bytes, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    # BITMAPINFOHEADER, biCompression = 'MJPG'
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_chunks = b"".join(chunk(b"00dc", p) for p in payloads)
+    movi = lst(b"movi", movi_chunks)
+    # idx1: offsets relative to the start of the movi list data
+    idx, off = bytearray(), 4
+    for p in payloads:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(p))
+        off += 8 + len(p) + (len(p) & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 # --------------------------------------------------------------------------

@@ -3,12 +3,13 @@
 The Spark-side machinery (schemas, Arrow batching via ``mapInPandas``,
 partition sizing) is REAL and tested, and as of round 4 so are the codecs
 for every format the standard library + numpy can express
-(``functions.codecs``): PNG / PPM / PGM / BMP and baseline JPEG images
-(``functions.jpeg``) and PCM WAV audio decode for real —
-``decode_image``/``decode_audio`` sniff the payload's magic bytes and
-dispatch.  Only video containers and arithmetic-coded JPEG still raise
-``NotImplementedError``; ``fake=True`` keeps the deterministic stub for
-pipeline-shape tests.
+(``functions.codecs``): PNG / PPM / PGM / BMP and baseline + progressive
+JPEG images (``functions.jpeg``), PCM WAV audio, and MJPEG-AVI video all
+decode for real — ``decode_image``/``decode_audio`` sniff the payload's
+magic bytes and dispatch, and the featurizer's video branch walks RIFF.
+Only arithmetic-coded/lossless JPEG and non-AVI video containers
+(MP4/MKV/WebM) still raise ``NotImplementedError``; ``fake=True`` keeps
+the deterministic stub for pipeline-shape tests.
 
 At 100 TB the pattern matters more than the codec: binary payloads ride in
 their own column so Parquet column pruning keeps them unread unless a stage
@@ -116,14 +117,25 @@ def extract_features(
                     if arr.dtype != np.uint8:  # int16 PCM -> byte scale so
                         # the histogram featurizer sees one value range
                         arr = ((arr.astype(np.int32) + 32768) >> 8).astype(np.uint8)
-                else:  # video: frame-sampled — containers need external codecs
+                else:  # video: frame-sampled
                     if not fake:
-                        raise NotImplementedError(
-                            "video containers require external codecs; "
-                            "pass fake=True for the pipeline-shape stub"
-                        )
-                    n = int(row.n_frames or 4)
-                    arr = _fake_decode(payload, (min(n, 4), 8, 8, 3))
+                        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                            # the REAL path: MJPEG-AVI decodes in-sandbox
+                            # (RIFF walk + the pure-numpy JPEG codec)
+                            from ..functions.codecs import decode_avi_mjpeg
+
+                            vid = decode_avi_mjpeg(payload)
+                            step = max(1, len(vid) // 4)
+                            arr = vid[::step][:4]  # deterministic frame sample
+                        else:
+                            raise NotImplementedError(
+                                "non-AVI video containers (MP4/MKV/WebM) "
+                                "require external codecs; pass fake=True for "
+                                "the pipeline-shape stub"
+                            )
+                    else:
+                        n = int(row.n_frames or 4)
+                        arr = _fake_decode(payload, (min(n, 4), 8, 8, 3))
                 flat = arr.astype(np.float64).ravel()
                 # histogram-moment feature, padded/truncated to feat_dim
                 hist, _ = np.histogram(flat, bins=feat_dim, range=(0, 256))

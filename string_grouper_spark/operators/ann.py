@@ -706,6 +706,64 @@ class PrefitAnnIndex:
             _bipartite_bucket_topk(assigned, self._keys, int(k)), int(k)
         )
 
+    def save(self, path: str) -> None:
+        """Persist the frozen index (bucketed items + meta; IVF also saves
+        its centroids) so later jobs ``load`` and serve without re-training
+        or re-bucketing the corpus.  Spark writers throughout, so ``path``
+        may be any Hadoop-compatible filesystem."""
+        import json as _json
+
+        spark = self._item_buckets.sparkSession
+        self._item_buckets.write.mode("overwrite").parquet(f"{path}/buckets")
+        meta = {
+            "method": self.method,
+            "num_tables": self.num_tables,
+            "planes_per_table": self.planes_per_table,
+            "nprobe": self.nprobe,
+            "max_bucket_size": self.max_bucket_size,
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+            "dim": getattr(self, "dim", None),
+            "n_cells": getattr(self, "_n_cells", None),
+        }
+        spark.createDataFrame(
+            [(_json.dumps(meta),)], "meta string"
+        ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+        if self.method == "ivf":
+            cents = self._cents_bc.value
+            spark.createDataFrame(
+                [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
+                "cell long, centroid array<double>",
+            ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "PrefitAnnIndex":
+        """Rebuild a saved index: buckets re-persisted, IVF centroids
+        re-broadcast (LSH planes are re-derived from the deterministic
+        seed) — no item pass runs."""
+        import json as _json
+
+        self = cls.__new__(cls)
+        meta = _json.loads(spark.read.json(f"{path}/meta").first()["meta"])
+        self.method = meta["method"]
+        self.num_tables = meta["num_tables"]
+        self.planes_per_table = meta["planes_per_table"]
+        self.nprobe = meta["nprobe"]
+        self.max_bucket_size = meta["max_bucket_size"]
+        self.id_col, self.vec_col = meta["id_col"], meta["vec_col"]
+        if self.method == "lsh":
+            self.dim = int(meta["dim"])
+            self._keys = ["tbl", "key"]
+        else:
+            self._keys = ["cell"]
+            self._n_cells = int(meta["n_cells"])
+            cpdf = spark.read.parquet(f"{path}/centroids").toPandas().sort_values("cell")
+            cents = np.stack(cpdf["centroid"].to_numpy()).astype(np.float64)
+            self._cents_bc = spark.sparkContext.broadcast(cents)
+        self._item_buckets = spark.read.parquet(f"{path}/buckets").persist()
+        self._item_buckets.count()
+        return self
+
     def unpersist(self) -> None:
         self._item_buckets.unpersist()
 

@@ -739,6 +739,65 @@ class PrefitLshMatcher:
             self._buckets(vecs_b)
         )
 
+    def save(self, path: str) -> None:
+        """Persist the frozen index to ``path`` (parquet + one json meta
+        row) so later jobs ``load`` and serve WITHOUT refitting — the
+        cross-session form of the reference's corpus-reuse workflow.
+        Everything goes through Spark writers, so the path may be any
+        Hadoop-compatible filesystem (HDFS/S3/local).  Extension pieces
+        absorbed via ``extend`` are included (``corpus_vecs`` is the union
+        view)."""
+        import dataclasses
+        import json as _json
+
+        import pandas as _pd
+
+        spark = self.corpus_vecs.sparkSession
+        self.corpus_vecs.write.mode("overwrite").parquet(f"{path}/vectors")
+        codes, idf = self.idf_bc.value
+        spark.createDataFrame(
+            _pd.DataFrame({"code": codes, "idf": idf})
+        ).write.mode("overwrite").parquet(f"{path}/idf")
+        meta = {
+            "cfg": dataclasses.asdict(self.cfg),
+            "num_perm": self.num_perm,
+            "num_bands": self.num_bands,
+            "max_bucket_size": self.max_bucket_size,
+            "text_col": self.text_col,
+            "id_col": self.id_col,
+            "shingle": self.shingle,
+            "shingle_words": self.shingle_words,
+        }
+        spark.createDataFrame(
+            [(_json.dumps(meta),)], "meta string"
+        ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "PrefitLshMatcher":
+        """Rebuild a saved matcher: vectors re-persisted, IDF re-broadcast,
+        buckets re-derived — no corpus text pass runs."""
+        import json as _json
+
+        self = cls.__new__(cls)
+        meta = _json.loads(spark.read.json(f"{path}/meta").first()["meta"])
+        self.cfg = MatchConfig(**meta["cfg"])
+        self.num_perm, self.num_bands = meta["num_perm"], meta["num_bands"]
+        self.max_bucket_size = meta["max_bucket_size"]
+        self.text_col, self.id_col = meta["text_col"], meta["id_col"]
+        self.shingle, self.shingle_words = meta["shingle"], meta["shingle_words"]
+        idf_pdf = spark.read.parquet(f"{path}/idf").toPandas().sort_values("code")
+        self.idf_bc = spark.sparkContext.broadcast(
+            (
+                idf_pdf["code"].to_numpy(dtype=np.int64),
+                idf_pdf["idf"].to_numpy(dtype=np.float64),
+            )
+        )
+        self.corpus_vecs = spark.read.parquet(f"{path}/vectors").persist()
+        self.corpus_vecs.count()
+        self._base_vecs = self.corpus_vecs
+        self._corpus_buckets = self._buckets(self.corpus_vecs)
+        return self
+
     def unpersist(self) -> None:
         # base corpus vectors were persisted at fit; extension pieces are
         # localCheckpoints, which Spark reclaims with their RDDs

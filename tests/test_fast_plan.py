@@ -332,3 +332,42 @@ def test_fast_pipeline_float32_weights(spark, docs):
         .toPandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(fast64, fast32)
+
+
+def test_prefit_matcher_save_load_identical_matches(spark, tmp_path):
+    # the cross-session corpus-reuse form: a loaded matcher must reproduce
+    # the fitted matcher's pairs and scores exactly (frozen IDF included),
+    # and extensions absorbed before save survive the round-trip
+    from pyspark.sql import functions as F
+
+    from string_grouper_spark.config import MatchConfig
+    from string_grouper_spark.plans.fast_dedup import PrefitLshMatcher
+    from string_grouper_spark.sources.pages import generate_pages
+
+    docs = generate_pages(spark, 60, seed=51).select(
+        F.col("page_id").alias("doc_id"), "text"
+    )
+    corpus = docs.where(F.col("doc_id") < 40)
+    extra = docs.where((F.col("doc_id") >= 40) & (F.col("doc_id") < 50)).select(
+        (F.col("doc_id") + 500).alias("doc_id"), "text"
+    )
+    batch = docs.where(F.col("doc_id") >= 50).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" .")).alias("text"),
+    )
+    cfg = MatchConfig(min_similarity=0.5, max_n_matches=1_000_000)
+    m = PrefitLshMatcher(corpus, cfg, num_perm=64, num_bands=32, max_bucket_size=None)
+    m.extend(extra)
+    want = m.match(batch, self_pairs=True).toPandas()
+    m.save(f"{tmp_path}/matcher")
+    m.unpersist()
+    m2 = PrefitLshMatcher.load(spark, f"{tmp_path}/matcher")
+    got = m2.match(batch, self_pairs=True).toPandas()
+    m2.unpersist()
+    key = ["master_side", "dupe_side"]
+    w = want.sort_values(key).reset_index(drop=True)
+    g = got.sort_values(key).reset_index(drop=True)
+    assert list(map(tuple, w[key].values)) == list(map(tuple, g[key].values))
+    import numpy as np
+
+    assert np.allclose(w.similarity.to_numpy(), g.similarity.to_numpy())

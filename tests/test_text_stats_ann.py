@@ -467,3 +467,24 @@ def test_word_count_adjacent_occurrences_exact(spark):
     )
     # 'atheist'/'lathe' must NOT count (whole-word only); empty text -> 0
     assert out["c"].tolist() == [3, 1, 1, 0]
+
+
+def test_prefit_ann_index_save_load_identical_results(spark, tmp_path, embeddings):
+    # fit-once, serve-across-jobs: a loaded index must return exactly the
+    # fitted index's results with NO item pass (both methods)
+    qs = embeddings.where(F.col("vec_id") < 15)
+    for method, kwargs in (
+        ("ivf", dict(n_centroids=8, nprobe=8)),
+        ("lsh", dict(num_tables=6, planes_per_table=5)),
+    ):
+        idx = ann.PrefitAnnIndex(embeddings, method=method, **kwargs)
+        want = idx.topk(qs, k=3).toPandas()
+        idx.save(f"{tmp_path}/{method}_idx")
+        idx.unpersist()
+        idx2 = ann.PrefitAnnIndex.load(spark, f"{tmp_path}/{method}_idx")
+        got = idx2.topk(qs, k=3).toPandas()
+        idx2.unpersist()
+        w = want.sort_values(["query_id", "item_id"]).reset_index(drop=True)
+        g = got.sort_values(["query_id", "item_id"]).reset_index(drop=True)
+        assert list(zip(w.query_id, w.item_id)) == list(zip(g.query_id, g.item_id)), method
+        assert np.allclose(w.cos.to_numpy(), g.cos.to_numpy()), method

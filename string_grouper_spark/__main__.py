@@ -141,6 +141,38 @@ def _build_parser() -> argparse.ArgumentParser:
     tk.add_argument("--vec-col", default="embedding")
     tk.add_argument("--k", type=int, default=10)
     tk.add_argument("--method", choices=["blocked", "lsh", "ivf"], default="blocked")
+
+    tf = sub.add_parser(
+        "topk-frozen",
+        help="query-vs-frozen-index retrieval (PrefitAnnIndex): --fit builds "
+        "the index from --items and saves it at --index; then (or in a later "
+        "job without --fit) queries --input against it; output "
+        "(query_id, item_id, cos)",
+    )
+    tf.add_argument("--input", required=True, help="query embeddings parquet")
+    tf.add_argument("--output", required=True)
+    tf.add_argument("--index", required=True, help="index save/load path")
+    tf.add_argument("--fit", action="store_true",
+                    help="build + save the index from --items first")
+    tf.add_argument("--items", default=None, help="item embeddings parquet (with --fit)")
+    tf.add_argument("--method", choices=["lsh", "ivf"], default="lsh")
+    tf.add_argument("--k", type=int, default=10)
+    tf.add_argument("--id-col", default="vec_id")
+    tf.add_argument("--vec-col", default="embedding")
+
+    im = sub.add_parser(
+        "image-dedup",
+        help="perceptual image near-dup clustering over a media parquet "
+        "(binary payload column): dHash/pHash + Hamming-ball join + "
+        "connected components; output (<id>, component)",
+    )
+    im.add_argument("--input", required=True)
+    im.add_argument("--output", required=True)
+    im.add_argument("--id-col", default="media_id")
+    im.add_argument("--payload-col", default="payload")
+    im.add_argument("--method", choices=["dhash", "phash"], default="dhash")
+    im.add_argument("--max-hamming", type=int, default=6)
+    im.add_argument("--num-blocks", type=int, default=8)
     return p
 
 
@@ -251,6 +283,28 @@ def main(argv: Optional[list] = None) -> int:
             out = ann.lsh_cosine_topk(df, dim=dim, k=args.k, id_col=args.id_col, vec_col=args.vec_col)
         else:
             out = ann.ivf_cosine_topk(df, k=args.k, id_col=args.id_col, vec_col=args.vec_col)
+    elif args.command == "topk-frozen":
+        from .operators.ann import PrefitAnnIndex
+
+        if args.fit:
+            if not args.items:
+                raise SystemExit("--fit requires --items")
+            items = spark.read.parquet(args.items)
+            idx = PrefitAnnIndex(
+                items, method=args.method, id_col=args.id_col, vec_col=args.vec_col
+            )
+            idx.save(args.index)
+        else:
+            idx = PrefitAnnIndex.load(spark, args.index)
+        out = idx.topk(df, k=args.k)
+    elif args.command == "image-dedup":
+        from .operators.multimodal import image_near_dup_clusters
+
+        out = image_near_dup_clusters(
+            df, method=args.method, max_hamming=args.max_hamming,
+            num_blocks=args.num_blocks, id_col=args.id_col,
+            payload_col=args.payload_col,
+        )
     else:  # pragma: no cover
         raise SystemExit(2)
 

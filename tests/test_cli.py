@@ -208,3 +208,51 @@ def test_cli_url_dedup(spark, tmp_path):
     assert set(got.columns) == {"canonical_url"} | set(pages.columns)
     # earliest crawl kept: no kept url carries the later variant's params
     assert not got["url"].str.contains("utm_source").any()
+
+
+def test_cli_topk_frozen_fit_then_query(spark, tmp_path):
+    # two-job lifecycle: one job fits+saves the index, a later job loads it
+    # and serves a query batch — no refit (the index dir is the contract)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    items, queries = f"{tmp_path}/items", f"{tmp_path}/queries"
+    emb.write.parquet(items)
+    emb.limit(10).write.parquet(queries)
+    idx, out1, out2 = f"{tmp_path}/idx", f"{tmp_path}/o1", f"{tmp_path}/o2"
+    assert main([
+        "topk-frozen", "--fit", "--items", items, "--index", idx,
+        "--input", queries, "--output", out1, "--method", "ivf", "--k", "3",
+    ]) == 0
+    assert main([
+        "topk-frozen", "--index", idx,
+        "--input", queries, "--output", out2, "--k", "3",
+    ]) == 0
+    g1 = spark.read.parquet(out1).toPandas().sort_values(["query_id", "item_id"])
+    g2 = spark.read.parquet(out2).toPandas().sort_values(["query_id", "item_id"])
+    assert set(g1.columns) == {"query_id", "item_id", "cos"}
+    assert list(zip(g1.query_id, g1.item_id)) == list(zip(g2.query_id, g2.item_id))
+
+
+def test_cli_image_dedup(spark, tmp_path):
+    import numpy as np
+
+    from string_grouper_spark.functions.codecs import encode_png
+    from string_grouper_spark.functions.jpeg import encode_jpeg
+
+    rows = []
+    for src in range(2):
+        yy, xx = np.mgrid[0:32, 0:32].astype(float)
+        img = np.clip(
+            128 + 90 * np.sin(0.04 * (src + 1) * xx) * np.cos(0.06 * yy), 0, 255
+        ).astype(np.uint8)
+        img = np.stack([img] * 3, axis=2)
+        for payload in (encode_png(img), encode_jpeg(img, quality=85)):
+            rows.append((len(rows), bytearray(payload)))
+    src_path, out = f"{tmp_path}/media", f"{tmp_path}/clusters"
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "payload"])
+    ).write.parquet(src_path)
+    assert main(["image-dedup", "--input", src_path, "--output", out]) == 0
+    got = spark.read.parquet(out).toPandas()
+    labels = dict(zip(got.media_id, got.component))
+    assert labels[0] == labels[1] and labels[2] == labels[3]
+    assert labels[0] != labels[2]

@@ -586,6 +586,100 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pages_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pages table in the BASELINE.json ``input_hint`` shape
+    (url, warc_ts, html: binary, text-free), derived from the driver's
+    ``documents`` testdata so DuckDB can mirror every derived column:
+
+      url     = 'https://example.org/' || md5(doc_id)
+      warc_ts = 2024-01-01 + ((doc_id * 7919) % 104729) seconds — the
+                multiplicative shuffle makes crawl order DIFFER from id
+                order (7919 and 104729 are coprime primes, injective for
+                doc_id < 104729), so earliest-crawl selection is not
+                trivially min(doc_id)
+      html    = UTF-8 bytes of the sources/pages.py wrapper around text
+    """
+    from string_grouper_spark.sources.pages import _HTML_PREFIX, _HTML_SUFFIX
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://example.org/"), F.md5(F.col("doc_id").cast("string"))
+        ).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.pmod(F.col("doc_id") * F.lit(7919), F.lit(104729)))
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit(_HTML_PREFIX.decode()), F.col("text"), F.lit(_HTML_SUFFIX.decode())
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.lit("en").alias("lang"),
+    )
+
+
+def q_pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule per-row invariant, oracle-gated on REAL corpus text:
+    pages.html (binary) -> extract_text must be BYTE-IDENTICAL to the source
+    text per url.  The hash gate covers the whole JVM encode -> decode ->
+    anchored-regex inverse on every document, plus the url derivation."""
+    from string_grouper_spark.sources.pages import extract_text_expr
+
+    pages = _pages_from_docs(spark, sf_dir)
+    return pages.select(
+        "url", extract_text_expr(F.col("html")).alias("page_text")
+    )
+
+
+def q_pages_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END north-rule pipeline over the input_hint table shape:
+    pages(html binary) -> byte-exact text extraction -> flagship MinHash-LSH
+    near-dup clustering (recall-1 banding) -> (doc_id, component).  The text
+    column is dropped before extraction, so the clustering consumes ONLY
+    what came out of the html bytes; oracle = the exact all-pairs closure
+    (same as ``components``)."""
+    from string_grouper_spark.plans.fast_dedup import fast_lsh_dedup
+    from string_grouper_spark.sources.pages import extract_text_expr
+
+    pages = _pages_from_docs(spark, sf_dir).select(
+        "doc_id", "html"
+    )
+    docs = pages.select(
+        "doc_id", extract_text_expr(F.col("html")).alias("text")
+    )
+    out = fast_lsh_dedup(
+        docs, _cfg(0.5), num_perm=128, num_bands=64, max_bucket_size=None
+    )
+    return out.select("doc_id", "component")
+
+
+def q_pages_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-url election per near-dup cluster: the member with the
+    EARLIEST warc_ts wins (the reference's group_rep='earliest timestamp'
+    semantics, SGU new_group_rep_by_earliest_timestamp, applied to the
+    webtext shape).  warc order differs from id order by construction
+    (see _pages_from_docs), so this gates the min_by path, not min(id)."""
+    from string_grouper_spark.plans.fast_dedup import fast_lsh_dedup
+    from string_grouper_spark.sources.pages import extract_text_expr
+
+    pages = _pages_from_docs(spark, sf_dir)
+    docs = pages.select("doc_id", extract_text_expr(F.col("html")).alias("text"))
+    labels = fast_lsh_dedup(
+        docs, _cfg(0.5), num_perm=128, num_bands=64, max_bucket_size=None
+    )
+    joined = labels.join(pages.select("doc_id", "url", "warc_ts"), "doc_id")
+    canon = joined.groupBy("component").agg(
+        F.min_by("url", "warc_ts").alias("canonical_url")
+    )
+    return (
+        joined.join(canon, "component")
+        .select("url", "canonical_url")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -631,6 +725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "ann_topk": q_ann_topk,
         "emb_dedup": q_emb_dedup,
+        "pages_extract": q_pages_extract,
+        "pages_dedup": q_pages_dedup,
+        "pages_canonical": q_pages_canonical,
     }
 
 
@@ -1261,6 +1358,37 @@ _ORACLES["ann_topk_frozen"] = _ANN_TOPK_SQL
 _ORACLES["image_dedup"] = r"""
 SELECT range AS media_id, (range // 3) * 3 AS component FROM range(90)
 """
+
+# pages_extract: the html wrapper is the exact inverse of extraction, so the
+# expected page_text IS the source text; url mirrors Spark's md5 hex.
+_ORACLES["pages_extract"] = r"""
+SELECT concat('https://example.org/', md5(CAST(doc_id AS VARCHAR))) AS url,
+       text AS page_text
+FROM documents
+"""
+
+# pages_dedup consumes ONLY the html bytes; byte-exact extraction means the
+# expected clustering is the exact all-pairs closure over the source text.
+_ORACLES["pages_dedup"] = _ORACLES["components"]
+
+_ORACLES["pages_canonical"] = (
+    _TFIDF_PRELUDE
+    + _COMPONENTS_CTES
+    + r"""
+, pg AS (
+  SELECT doc_id,
+         concat('https://example.org/', md5(CAST(doc_id AS VARCHAR))) AS url,
+         (doc_id * 7919) % 104729 AS warc_ord
+  FROM documents
+), canon AS (
+  SELECT comp.component, arg_min(pg.url, pg.warc_ord) AS canonical_url
+  FROM comp JOIN pg USING (doc_id)
+  GROUP BY comp.component
+)
+SELECT pg.url, canon.canonical_url
+FROM comp JOIN pg USING (doc_id) JOIN canon ON canon.component = comp.component
+"""
+)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -14,6 +14,10 @@ Queries (the engine's production shapes):
   ann_topk        blocked-matmul exact cosine top-10 over embeddings (+
                   recall vs the per-pair oracle on a 100-query sample)
   text_stats      language-id + quality + fingerprint full scan
+  pages_dedup     north-rule table shape end-to-end: pages(html binary) ->
+                  byte-exact text extraction -> flagship LSH dedup, with
+                  dup-pair recall vs generated ground truth and
+                  dedup-pairs/sec counters (the BASELINE.json metric)
 """
 
 from __future__ import annotations
@@ -188,6 +192,62 @@ def main() -> None:
         .agg(F.count(F.lit(1)))
         .first()[0],
     )
+
+    # ---- north-rule table shape: pages(url, warc_ts, html binary, lang) ----
+    # Synthesized ON EXECUTORS (no driver materialization), text recovered
+    # from the html BYTES, then the flagship plan — the BASELINE.json metric
+    # is "dedup pairs/sec and dup-pair recall >= 0.99" on exactly this shape.
+    from string_grouper_spark.sources.pages import (  # noqa: E402
+        extract_text_expr,
+        generate_pages_distributed,
+    )
+
+    pages = generate_pages_distributed(spark, n_docs, seed=11).persist()
+    pages.count()
+    pdocs = pages.select(
+        F.col("page_id").alias("doc_id"),
+        extract_text_expr(F.col("html")).alias("text"),
+    ).persist()
+    pdocs.count()
+    timed(
+        "pages_dedup",
+        lambda: fast_lsh_dedup(
+            pdocs, cfg_flag, num_perm=128, num_bands=16, n_docs=n_docs
+        ).count(),
+    )
+    plabels = fast_lsh_dedup(
+        pdocs, cfg_flag, num_perm=128, num_bands=16, n_docs=n_docs
+    ).toPandas()
+    # dup pairs identified = sum over clusters of C(size, 2)
+    sizes = plabels.groupby("component").size()
+    dup_pairs = int((sizes * (sizes - 1) // 2).sum())
+    counters["pages_dup_pairs"] = dup_pairs
+    counters["pages_dedup_pairs_per_sec"] = round(
+        dup_pairs / timings["pages_dedup"], 1
+    )
+    # ground-truth dup pairs at THIS config: cluster members 0-2 carry only
+    # tokenizer-erased edits (case / comma-join), i.e. cosine 1.0 >= 0.8 —
+    # every such pair MUST be found.  Member 3 is a 60% prefix slice whose
+    # cosine ~0.77 sits below the 0.8 threshold BY DESIGN (it is the
+    # substring generator's case, counted in `substring` above), so it is
+    # excluded from the truth set, exactly as the reference's assignments at
+    # min_similarity=0.8 would exclude it.
+    truth = pages.select("page_id", "true_cluster").toPandas()
+    truth = truth[truth.page_id % 4 < 3]
+    merged = truth.merge(plabels, left_on="page_id", right_on="doc_id")
+    tpairs: set = set()
+    gpairs_pages: set = set()
+    for _, grp in merged.groupby("true_cluster"):
+        ids = sorted(grp.page_id)
+        tpairs |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]}
+    for _, grp in merged.groupby("component"):
+        ids = sorted(grp.page_id)
+        gpairs_pages |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]}
+    counters["pages_dup_pair_recall_pct"] = round(
+        100.0 * len(tpairs & gpairs_pages) / max(1, len(tpairs)), 2
+    )
+    pages.unpersist()
+    pdocs.unpersist()
 
     total = round(sum(timings.values()), 3)
     # dedup throughput: docs fully near-dup-clustered per second (flagship)

@@ -48,6 +48,10 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="int threshold, 'auto' (histogram-picked, default) or 'none'")
     d.add_argument("--checkpoint-root", default=None,
                    help="resume-able stage tables under this root")
+    d.add_argument("--html-col", default=None,
+                   help="binary html column: derive <text-col> via byte-exact "
+                   "text extraction first (the Common-Crawl-style pages "
+                   "input shape — url, warc_ts, html binary, lang)")
     d.add_argument("--tfidf-dtype", choices=["float32", "float64"],
                    default="float32",
                    help="weight precision (reference tfidf_matrix_dtype); "
@@ -186,6 +190,12 @@ def main(argv: Optional[list] = None) -> int:
     df = spark.read.parquet(args.input)
 
     if args.command == "dedup":
+        if args.html_col:
+            from pyspark.sql import functions as F
+
+            from .sources.pages import extract_text_expr
+
+            df = df.withColumn(args.text_col, extract_text_expr(F.col(args.html_col)))
         cfg = MatchConfig(
             min_similarity=args.min_similarity,
             max_n_matches=1_000_000,

@@ -256,3 +256,29 @@ def test_cli_image_dedup(spark, tmp_path):
     labels = dict(zip(got.media_id, got.component))
     assert labels[0] == labels[1] and labels[2] == labels[3]
     assert labels[0] != labels[2]
+
+
+def test_cli_dedup_html_col_pages_shape(spark, tmp_path):
+    # north-rule job surface: a pages table with ONLY html bytes (no text
+    # column) dedups via --html-col, and the clusters equal a plain-text run
+    from string_grouper_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 120, seed=5)
+    src_pages = f"{tmp_path}/pages"
+    pages.select("url", "warc_ts", "html", "lang", "page_id").write.parquet(src_pages)
+    src_text = f"{tmp_path}/ptext"
+    pages.select("page_id", "text").write.parquet(src_text)
+
+    out_h = f"{tmp_path}/clusters_html"
+    assert main(["dedup", "--input", src_pages, "--output", out_h,
+                 "--html-col", "html", "--id-col", "page_id",
+                 "--min-similarity", "0.7", "--num-bands", "64"]) == 0
+    out_t = f"{tmp_path}/clusters_text"
+    assert main(["dedup", "--input", src_text, "--output", out_t,
+                 "--id-col", "page_id",
+                 "--min-similarity", "0.7", "--num-bands", "64"]) == 0
+    got_h = spark.read.parquet(out_h).toPandas().sort_values("page_id")
+    got_t = spark.read.parquet(out_t).toPandas().sort_values("page_id")
+    assert got_h.reset_index(drop=True).equals(got_t.reset_index(drop=True))
+    # and the html-derived clustering actually merged something
+    assert got_h["component"].nunique() < len(got_h)

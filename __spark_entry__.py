@@ -586,6 +586,20 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three-generator surface (operators.dedup.near_duplicate_clusters_
+    scale) with minhash ∪ substring: cosine candidates re-scored exactly at
+    0.5, verified containments joined in as edges directly, one CC pass.
+    Oracle = closure over (exact cosine >= 0.5 pairs) ∪ (exact containment
+    pairs) — the cosine generator is recall-1 at this banding, so the Spark
+    result must equal the exact union closure."""
+    out = dedup_ops.near_duplicate_clusters_scale(
+        _docs(spark, sf_dir), _cfg(0.5), generators=("minhash", "substring"),
+        num_bands=64, max_bucket_size=None, anchor_len=16,
+    )
+    return out.select("doc_id", "component")
+
+
 def _pages_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic pages table in the BASELINE.json ``input_hint`` shape
     (url, warc_ts, html: binary, text-free), derived from the driver's
@@ -728,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_extract": q_pages_extract,
         "pages_dedup": q_pages_dedup,
         "pages_canonical": q_pages_canonical,
+        "union_dedup": q_union_dedup,
     }
 
 
@@ -1358,6 +1373,37 @@ _ORACLES["ann_topk_frozen"] = _ANN_TOPK_SQL
 _ORACLES["image_dedup"] = r"""
 SELECT range AS media_id, (range // 3) * 3 AS component FROM range(90)
 """
+
+# union_dedup: connected components over the UNION of the exact cosine
+# graph (>= 0.5) and the exact substring-containment graph — the
+# three-generator surface's minhash+substring configuration.
+_ORACLES["union_dedup"] = (
+    _TFIDF_PRELUDE
+    + r"""
+, contain AS (
+  SELECT a.doc_id AS l, b.doc_id AS r
+  FROM docs a JOIN docs b
+    ON a.doc_id != b.doc_id AND length(a.norm) >= 16
+   AND position(a.norm IN b.norm) > 0
+), alledges AS (
+  SELECT l, r FROM simpairs UNION SELECT l, r FROM contain
+), sym AS (
+  SELECT l AS u, r AS v FROM alledges
+  UNION ALL SELECT r, l FROM alledges
+), closure AS (
+  WITH RECURSIVE reach(src, dst) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT reach.src, sym.v FROM reach JOIN sym ON reach.dst = sym.u
+  ) SELECT * FROM reach
+), comp AS (
+  SELECT d.doc_id, least(d.doc_id, coalesce(min(c.dst), d.doc_id)) AS component
+  FROM docs d LEFT JOIN closure c ON c.src = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id, component FROM comp
+"""
+)
 
 # pages_extract: the html wrapper is the exact inverse of extraction, so the
 # expected page_text IS the source text; url mirrors Spark's md5 hex.

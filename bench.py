@@ -246,6 +246,33 @@ def main() -> None:
     counters["pages_dup_pair_recall_pct"] = round(
         100.0 * len(tpairs & gpairs_pages) / max(1, len(tpairs)), 2
     )
+    # the three-generator union (minhash ∪ substring containment) also
+    # covers the prefix-slice member the cosine threshold structurally
+    # misses: recall vs ALL ground-truth pairs, NO excluded edit classes
+    timed(
+        "pages_dedup_union",
+        lambda: dedup.near_duplicate_clusters_scale(
+            pdocs, cfg_flag, generators=("minhash", "substring"),
+            num_perm=128, num_bands=16, n_docs=n_docs,
+        ).count(),
+    )
+    ulabels = dedup.near_duplicate_clusters_scale(
+        pdocs, cfg_flag, generators=("minhash", "substring"),
+        num_perm=128, num_bands=16, n_docs=n_docs,
+    ).toPandas()
+    utruth = pages.select("page_id", "true_cluster").toPandas()
+    umerged = utruth.merge(ulabels, left_on="page_id", right_on="doc_id")
+    utpairs: set = set()
+    ugpairs: set = set()
+    for _, grp in umerged.groupby("true_cluster"):
+        ids = sorted(grp.page_id)
+        utpairs |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]}
+    for _, grp in umerged.groupby("component"):
+        ids = sorted(grp.page_id)
+        ugpairs |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]}
+    counters["pages_dup_pair_recall_all_pct"] = round(
+        100.0 * len(utpairs & ugpairs) / max(1, len(utpairs)), 2
+    )
     pages.unpersist()
     pdocs.unpersist()
 

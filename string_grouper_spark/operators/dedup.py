@@ -136,6 +136,120 @@ def lsh_dedup_clusters(
         tokens.unpersist()
 
 
+def near_duplicate_clusters_scale(
+    docs: DataFrame,
+    cfg: Optional[MatchConfig] = None,
+    generators=("minhash",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: Optional[int] = None,
+    num_perm: int = 128,
+    num_bands: int = 64,
+    max_bucket_size: Optional[int] = 1000,
+    salt_above: Optional[int] = None,
+    max_hamming: int = 3,
+    num_blocks: int = 4,
+    anchor_len: int = 16,
+    drop_stats: Optional[dict] = None,
+) -> DataFrame:
+    """The north rule's THREE INTERCHANGEABLE candidate generators behind one
+    clustering contract: ``'minhash'`` (LSH banding over shingles),
+    ``'simhash'`` (64-bit signatures + Hamming-ball block join) and
+    ``'substring'`` (the winnowed suffix-window containment pass).
+
+    ``generators`` takes any non-empty subset; cosine generators (minhash /
+    simhash) only PROPOSE pairs — the union of their candidates goes through
+    ONE exact TF-IDF re-score at ``cfg.min_similarity`` (LSH narrows, exact
+    math decides), so at recall-1 configs each is interchangeable with the
+    exact all-pairs path and with each other.  ``'substring'`` contributes
+    verified exact containments as edges directly (a containment IS a
+    duplicate relation regardless of cosine — the prefix/boilerplate webtext
+    case that similarity thresholds structurally miss).  All edges feed one
+    connected-components pass.
+
+    Returns (<id_col>, component), component = min id — the same contract as
+    ``near_duplicate_clusters``'s components and the LSH flagship.
+
+    Plan notes: the corpus is tokenized ONCE and shared by the minhash
+    signatures and the re-score postings; candidate tables are slim id-pair
+    frames (never carrying vectors), so unioning generators adds narrow
+    passes but no new wide shuffle.
+    """
+    from ..functions.tfidf import tfidf_postings_from_tokens, tokenize
+    from .candidates import (
+        _bucket_pairs,
+        bucket_drop_stats,
+        minhash_bands_from_tokens,
+        rescored_pairs,
+        simhash_candidates,
+        substring_containment,
+    )
+    from .grouping import connected_components
+
+    cfg = cfg or MatchConfig()
+    if isinstance(generators, str):
+        generators = (generators,)
+    unknown = set(generators) - {"minhash", "simhash", "substring"}
+    if unknown:
+        raise ValueError(f"unknown candidate generators: {sorted(unknown)}")
+    if not generators:
+        raise ValueError("at least one candidate generator is required")
+    if n_docs is None:
+        n_docs = docs.count()
+
+    cos_gens = [g for g in generators if g in ("minhash", "simhash")]
+    edge_parts = []
+    tokens = None
+    try:
+        if cos_gens:
+            tokens = tokenize(docs, cfg, text_col=text_col, id_col=id_col).persist()
+            cands = []
+            if "minhash" in cos_gens:
+                bands = minhash_bands_from_tokens(tokens, num_perm, num_bands)
+                if drop_stats is not None:
+                    drop_stats.update(bucket_drop_stats(bands, max_bucket_size))
+                cands.append(
+                    _bucket_pairs(bands, max_bucket_size, salt_above=salt_above)
+                )
+            if "simhash" in cos_gens:
+                cands.append(
+                    simhash_candidates(
+                        docs, cfg, max_hamming=max_hamming, num_blocks=num_blocks,
+                        max_bucket_size=max_bucket_size, text_col=text_col,
+                        id_col=id_col, engine="fast",
+                    ).select(LEFT, RIGHT)
+                )
+            cand = cands[0]
+            for extra in cands[1:]:
+                cand = cand.unionByName(extra)
+            if len(cands) > 1:
+                cand = cand.dropDuplicates([LEFT, RIGHT])
+            postings = tfidf_postings_from_tokens(tokens, n_docs, cfg)
+            scored = rescored_pairs(docs, cand, cfg, postings=postings)
+            edge_parts.append(
+                scored.select(F.col(LEFT).alias("u"), F.col(RIGHT).alias("v"))
+            )
+        if "substring" in generators:
+            contain = substring_containment(
+                docs, cfg, anchor_len=anchor_len, text_col=text_col, id_col=id_col
+            )
+            edge_parts.append(
+                contain.select(
+                    F.col("inner_id").alias("u"), F.col("outer_id").alias("v")
+                )
+            )
+        edges = edge_parts[0]
+        for extra in edge_parts[1:]:
+            edges = edges.unionByName(extra)
+        nodes = docs.select(F.col(id_col))
+        return connected_components(edges, nodes).withColumnRenamed(NODE, id_col)
+    finally:
+        if tokens is not None:
+            # labels are localCheckpoint-ed inside connected_components, so
+            # the token cache is no longer needed by the returned DataFrame
+            tokens.unpersist()
+
+
 def components_only(
     docs: DataFrame,
     cfg: Optional[MatchConfig] = None,

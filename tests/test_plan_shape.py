@@ -226,3 +226,19 @@ def test_image_hash_pipeline_prunes_metadata_only_consumers(spark, tmp_path):
 
     read_schema = _re.findall(r"ReadSchema: \S+", plan)
     assert read_schema and all("payload" not in s for s in read_schema), plan
+
+
+def test_generator_union_plan_has_no_cartesian(spark, docs):
+    # the three-generator surface must stay bucketed/equi-join end-to-end:
+    # no cartesian or nested-loop join may appear anywhere in the plan, and
+    # Python stays Arrow-vectorized (no per-row BatchEvalPython)
+    from string_grouper_spark.operators.dedup import near_duplicate_clusters_scale
+
+    cfg = MatchConfig(min_similarity=0.8, max_n_matches=1_000_000)
+    out = near_duplicate_clusters_scale(
+        docs.limit(200), cfg, generators=("minhash", "simhash", "substring")
+    )
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

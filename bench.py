@@ -18,6 +18,12 @@ Queries (the engine's production shapes):
                   byte-exact text extraction -> flagship LSH dedup, with
                   dup-pair recall vs generated ground truth and
                   dedup-pairs/sec counters (the BASELINE.json metric)
+  pages_dedup_union  the three-generator surface (minhash ∪ substring
+                  containment) on the same pages — recall vs ALL ground
+                  truth pairs, no excluded edit classes (anchor_len=48:
+                  32-byte windows; the default 12-byte windows are
+                  unselective on low-entropy webtext — measured 4.26M
+                  candidates vs 15k, see BASELINE.md)
 """
 
 from __future__ import annotations
@@ -253,12 +259,12 @@ def main() -> None:
         "pages_dedup_union",
         lambda: dedup.near_duplicate_clusters_scale(
             pdocs, cfg_flag, generators=("minhash", "substring"),
-            num_perm=128, num_bands=16, n_docs=n_docs,
+            num_perm=128, num_bands=16, n_docs=n_docs, anchor_len=48,
         ).count(),
     )
     ulabels = dedup.near_duplicate_clusters_scale(
         pdocs, cfg_flag, generators=("minhash", "substring"),
-        num_perm=128, num_bands=16, n_docs=n_docs,
+        num_perm=128, num_bands=16, n_docs=n_docs, anchor_len=48,
     ).toPandas()
     utruth = pages.select("page_id", "true_cluster").toPandas()
     umerged = utruth.merge(ulabels, left_on="page_id", right_on="doc_id")

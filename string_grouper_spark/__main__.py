@@ -52,6 +52,12 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="binary html column: derive <text-col> via byte-exact "
                    "text extraction first (the Common-Crawl-style pages "
                    "input shape — url, warc_ts, html binary, lang)")
+    d.add_argument("--generators", default=None,
+                   help="comma list from {minhash,simhash,substring}: run the "
+                   "interchangeable-generator surface "
+                   "(near_duplicate_clusters_scale) instead of the minhash "
+                   "flagship — e.g. 'minhash,substring' also clusters exact "
+                   "prefix/containment dupes a cosine threshold misses")
     d.add_argument("--tfidf-dtype", choices=["float32", "float64"],
                    default="float32",
                    help="weight precision (reference tfidf_matrix_dtype); "
@@ -205,7 +211,17 @@ def main(argv: Optional[list] = None) -> int:
         if isinstance(salt, str):
             salt = None if salt == "none" else ("auto" if salt == "auto" else int(salt))
         stats: dict = {}
-        if args.checkpoint_root:
+        if args.generators:
+            from .operators.dedup import near_duplicate_clusters_scale
+
+            out = near_duplicate_clusters_scale(
+                df, cfg,
+                generators=tuple(g.strip() for g in args.generators.split(",") if g.strip()),
+                num_perm=args.num_perm, num_bands=args.num_bands,
+                max_bucket_size=args.max_bucket_size, salt_above=salt,
+                text_col=args.text_col, id_col=args.id_col, drop_stats=stats,
+            )
+        elif args.checkpoint_root:
             from .checkpoint import checkpointed_lsh_dedup_pipeline
 
             out = checkpointed_lsh_dedup_pipeline(

@@ -146,7 +146,7 @@ def near_duplicate_clusters_scale(
     num_perm: int = 128,
     num_bands: int = 64,
     max_bucket_size: Optional[int] = 1000,
-    salt_above: Optional[int] = None,
+    salt_above=None,  # int threshold, 'auto' (histogram-picked) or None
     max_hamming: int = 3,
     num_blocks: int = 4,
     anchor_len: int = 16,
@@ -170,20 +170,19 @@ def near_duplicate_clusters_scale(
     Returns (<id_col>, component), component = min id — the same contract as
     ``near_duplicate_clusters``'s components and the LSH flagship.
 
-    Plan notes: the corpus is tokenized ONCE and shared by the minhash
-    signatures and the re-score postings; candidate tables are slim id-pair
-    frames (never carrying vectors), so unioning generators adds narrow
-    passes but no new wide shuffle.
+    Plan notes: the cosine leg runs on the FLAGSHIP fast-plan kernels — one
+    narrow vectorize pass (``doc_term_arrays``/``doc_vectors``, persisted)
+    feeds minhash banding AND the packed exact re-score; candidate tables
+    are slim id-pair frames (never carrying vectors), so unioning
+    generators adds narrow passes but no new wide shuffle.
     """
-    from ..functions.tfidf import tfidf_postings_from_tokens, tokenize
-    from .candidates import (
-        _bucket_pairs,
-        bucket_drop_stats,
-        minhash_bands_from_tokens,
-        rescored_pairs,
-        simhash_candidates,
-        substring_containment,
+    from ..plans.fast_dedup import (
+        doc_term_arrays,
+        doc_vectors,
+        lsh_band_candidates,
+        rescore_candidates_with_vecs,
     )
+    from .candidates import simhash_candidates, substring_containment
     from .grouping import connected_components
 
     cfg = cfg or MatchConfig()
@@ -199,17 +198,22 @@ def near_duplicate_clusters_scale(
 
     cos_gens = [g for g in generators if g in ("minhash", "simhash")]
     edge_parts = []
-    tokens = None
+    caches = []
     try:
         if cos_gens:
-            tokens = tokenize(docs, cfg, text_col=text_col, id_col=id_col).persist()
+            terms = doc_term_arrays(docs, cfg, text_col, id_col).persist()
+            vecs = doc_vectors(
+                docs, cfg, num_perm, num_bands, text_col, id_col, n_docs,
+                terms=terms,
+            ).persist()
+            caches += [terms, vecs]
             cands = []
             if "minhash" in cos_gens:
-                bands = minhash_bands_from_tokens(tokens, num_perm, num_bands)
-                if drop_stats is not None:
-                    drop_stats.update(bucket_drop_stats(bands, max_bucket_size))
                 cands.append(
-                    _bucket_pairs(bands, max_bucket_size, salt_above=salt_above)
+                    lsh_band_candidates(
+                        vecs, max_bucket_size, salt_above=salt_above,
+                        drop_stats=drop_stats,
+                    )
                 )
             if "simhash" in cos_gens:
                 cands.append(
@@ -224,8 +228,7 @@ def near_duplicate_clusters_scale(
                 cand = cand.unionByName(extra)
             if len(cands) > 1:
                 cand = cand.dropDuplicates([LEFT, RIGHT])
-            postings = tfidf_postings_from_tokens(tokens, n_docs, cfg)
-            scored = rescored_pairs(docs, cand, cfg, postings=postings)
+            scored = rescore_candidates_with_vecs(cand, vecs, cfg)
             edge_parts.append(
                 scored.select(F.col(LEFT).alias("u"), F.col(RIGHT).alias("v"))
             )
@@ -242,12 +245,12 @@ def near_duplicate_clusters_scale(
         for extra in edge_parts[1:]:
             edges = edges.unionByName(extra)
         nodes = docs.select(F.col(id_col))
+        # connected_components localCheckpoints the edge list EAGERLY, so
+        # the caches are fully consumed before the finally releases them
         return connected_components(edges, nodes).withColumnRenamed(NODE, id_col)
     finally:
-        if tokens is not None:
-            # labels are localCheckpoint-ed inside connected_components, so
-            # the token cache is no longer needed by the returned DataFrame
-            tokens.unpersist()
+        for c in caches:
+            c.unpersist()
 
 
 def components_only(

@@ -329,6 +329,93 @@ def doc_vectors(
     return terms.mapInPandas(run, _vec_schema(cfg.ngram_size, cfg.tfidf_matrix_dtype))
 
 
+def lsh_band_candidates(
+    vecs: DataFrame,
+    max_bucket_size: Optional[int] = 1000,
+    salt_above="auto",
+    min_band_matches: int = 1,
+    drop_stats: Optional[dict] = None,
+) -> DataFrame:
+    """Banded-LSH candidate pairs (master_side, dupe_side) from a
+    ``doc_vectors`` table — the flagship's bucket stage, reusable by any
+    pipeline that already holds the packed vectors.  Applies the measured
+    hot-bucket policy (auto salting / capped drops, never silent) exactly
+    as ``fast_lsh_dedup`` does."""
+    import logging
+
+    from ..operators.candidates import (
+        _grouped_bucket_pairs,
+        _salted_self_pairs,
+        auto_skew_policy,
+        bucket_drop_stats,
+    )
+
+    log = logging.getLogger("string_grouper_spark.skew")
+    # key-only bucket table: the band key already folds the band INDEX
+    # into the 64-bit hash (doc_vectors: ``(acc * mixers) ^ arange``), so
+    # carrying a separate band column through the bucket shuffle is
+    # redundant.  Measured at 120k docs/16 bands: 22.6 -> 21.4 MB bucket
+    # shuffle (lz4 compresses the 16-valued ordinal to ~nothing — the
+    # collect_list payloads dominate), identical pair set (2,915,711).
+    # A cross-band key collision (~2^-64) would only MERGE two buckets,
+    # adding spurious candidates that the exact re-score filters.
+    buckets = vecs.where(F.col("bands").isNotNull()).select(
+        "doc_id", F.explode("bands").alias("key")
+    )
+    kc = ("key",)
+    has_drops = False
+    if salt_above == "auto":
+        policy = auto_skew_policy(buckets, max_bucket_size, key_cols=kc)
+        salt_above = policy["salt_above"]
+        has_drops = policy["n_buckets_dropped"] > 0
+        if drop_stats is not None:
+            drop_stats.update(policy)
+        emit = log.warning if policy["n_buckets_dropped"] else log.info
+        emit("lsh skew policy: %s", policy)
+    elif drop_stats is not None:
+        drop_stats.update(bucket_drop_stats(buckets, max_bucket_size, key_cols=kc))
+        has_drops = drop_stats.get("n_buckets_dropped", 0) > 0
+        if has_drops:
+            log.warning("lsh bucket drops: %s", drop_stats)
+    if salt_above is None:
+        # one-shuffle grouped pairing (see _grouped_bucket_pairs); when
+        # the measured histogram shows over-cap buckets, pre-filter them
+        # via broadcast anti-join so no task collect_lists a megabucket
+        raw_pairs = _grouped_bucket_pairs(
+            buckets, max_bucket_size, key_cols=kc, prefilter_hot=has_drops
+        )
+    else:
+        raw_pairs = _salted_self_pairs(
+            buckets, salt_above, key_cols=kc, max_bucket_size=max_bucket_size
+        )
+    collisions = raw_pairs.groupBy(LEFT, RIGHT).agg(
+        F.count(F.lit(1)).alias("_nbands")
+    )
+    return collisions.where(
+        F.col("_nbands") >= int(min_band_matches)
+    ).select(LEFT, RIGHT)
+
+
+def rescore_candidates_with_vecs(
+    cand: DataFrame, vecs: DataFrame, cfg: MatchConfig
+) -> DataFrame:
+    """Exact TF-IDF cosine over candidate id-pairs via the packed-vector
+    Arrow kernel: (master_side, dupe_side, similarity), sim >= threshold.
+    The flagship's re-score stage, shared by every candidate generator."""
+    pl = vecs.select(
+        F.col("doc_id").alias(LEFT), F.col("codes").alias("_g1"), F.col("ws").alias("_w1")
+    )
+    pr = vecs.select(
+        F.col("doc_id").alias(RIGHT), F.col("codes").alias("_g2"), F.col("ws").alias("_w2")
+    )
+    return (
+        cand.join(pl, LEFT)
+        .join(pr, RIGHT)
+        .select(LEFT, RIGHT, _sparse_dot("_g1", "_w1", "_g2", "_w2").alias(SIM))
+        .where(F.col(SIM) >= float(cfg.min_similarity))
+    )
+
+
 def fast_lsh_dedup(
     docs: DataFrame,
     cfg: Optional[MatchConfig] = None,
@@ -369,17 +456,8 @@ def fast_lsh_dedup(
     output-invariant.  Pass a ``drop_stats`` dict to also receive the
     accounting programmatically.
     """
-    import logging
-
-    from ..operators.candidates import (
-        _grouped_bucket_pairs,
-        _salted_self_pairs,
-        auto_skew_policy,
-        bucket_drop_stats,
-    )
     from ..operators.grouping import connected_components
 
-    log = logging.getLogger("string_grouper_spark.skew")
     cfg = cfg or MatchConfig()
     if n_docs is None:
         n_docs = docs.count()
@@ -391,55 +469,11 @@ def fast_lsh_dedup(
         terms=terms, shingle=shingle, shingle_words=shingle_words,
     ).persist()
     try:
-        # key-only bucket table: the band key already folds the band INDEX
-        # into the 64-bit hash (doc_vectors: ``(acc * mixers) ^ arange``), so
-        # carrying a separate band column through the bucket shuffle is
-        # redundant.  Measured at 120k docs/16 bands: 22.6 -> 21.4 MB bucket
-        # shuffle (lz4 compresses the 16-valued ordinal to ~nothing — the
-        # collect_list payloads dominate), identical pair set (2,915,711).
-        # A cross-band key collision (~2^-64) would only MERGE two buckets,
-        # adding spurious candidates that the exact re-score filters.
-        buckets = vecs.where(F.col("bands").isNotNull()).select(
-            "doc_id", F.explode("bands").alias("key")
+        cand = lsh_band_candidates(
+            vecs, max_bucket_size, salt_above=salt_above,
+            min_band_matches=min_band_matches, drop_stats=drop_stats,
         )
-        kc = ("key",)
-        has_drops = False
-        if salt_above == "auto":
-            policy = auto_skew_policy(buckets, max_bucket_size, key_cols=kc)
-            salt_above = policy["salt_above"]
-            has_drops = policy["n_buckets_dropped"] > 0
-            if drop_stats is not None:
-                drop_stats.update(policy)
-            emit = log.warning if policy["n_buckets_dropped"] else log.info
-            emit("lsh skew policy: %s", policy)
-        elif drop_stats is not None:
-            drop_stats.update(bucket_drop_stats(buckets, max_bucket_size, key_cols=kc))
-            has_drops = drop_stats.get("n_buckets_dropped", 0) > 0
-            if has_drops:
-                log.warning("lsh bucket drops: %s", drop_stats)
-        if salt_above is None:
-            # one-shuffle grouped pairing (see _grouped_bucket_pairs); when
-            # the measured histogram shows over-cap buckets, pre-filter them
-            # via broadcast anti-join so no task collect_lists a megabucket
-            raw_pairs = _grouped_bucket_pairs(
-                buckets, max_bucket_size, key_cols=kc, prefilter_hot=has_drops
-            )
-        else:
-            raw_pairs = _salted_self_pairs(
-                buckets, salt_above, key_cols=kc, max_bucket_size=max_bucket_size
-            )
-        collisions = raw_pairs.groupBy(LEFT, RIGHT).agg(
-            F.count(F.lit(1)).alias("_nbands")
-        )
-        cand = collisions.where(F.col("_nbands") >= int(min_band_matches)).select(LEFT, RIGHT)
-        pl = vecs.select(F.col("doc_id").alias(LEFT), F.col("codes").alias("_g1"), F.col("ws").alias("_w1"))
-        pr = vecs.select(F.col("doc_id").alias(RIGHT), F.col("codes").alias("_g2"), F.col("ws").alias("_w2"))
-        pairs = (
-            cand.join(pl, LEFT)
-            .join(pr, RIGHT)
-            .select(LEFT, RIGHT, _sparse_dot("_g1", "_w1", "_g2", "_w2").alias(SIM))
-            .where(F.col(SIM) >= float(cfg.min_similarity))
-        )
+        pairs = rescore_candidates_with_vecs(cand, vecs, cfg)
         nodes = docs.select(F.col(id_col))
         return connected_components(
             pairs.select(F.col(LEFT).alias("u"), F.col(RIGHT).alias("v")), nodes

@@ -282,3 +282,29 @@ def test_cli_dedup_html_col_pages_shape(spark, tmp_path):
     assert got_h.reset_index(drop=True).equals(got_t.reset_index(drop=True))
     # and the html-derived clustering actually merged something
     assert got_h["component"].nunique() < len(got_h)
+
+
+def test_cli_dedup_generators_union(spark, tmp_path):
+    # --generators minhash,substring clusters a prefix dup the cosine
+    # threshold misses; plain dedup does not
+    long = ("data spark shuffle partition join window batch stream table "
+            "column row key value hash sort merge scan filter group agg "
+            "query plan stage task executor driver memory disk network")
+    prefix = " ".join(long.split()[: int(len(long.split()) * 0.6)])
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2], "text": [long, prefix, "unrelated pasta recipe entirely"]})
+    src = f"{tmp_path}/docs"
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    out_u = f"{tmp_path}/union"
+    assert main(["dedup", "--input", src, "--output", out_u,
+                 "--generators", "minhash,substring",
+                 "--min-similarity", "0.8", "--num-bands", "64"]) == 0
+    got = spark.read.parquet(out_u).toPandas().set_index("doc_id")["component"]
+    assert got.loc[0] == got.loc[1] == 0
+    assert got.loc[2] == 2
+
+    out_p = f"{tmp_path}/plain"
+    assert main(["dedup", "--input", src, "--output", out_p,
+                 "--min-similarity", "0.8", "--num-bands", "64"]) == 0
+    plain = spark.read.parquet(out_p).toPandas().set_index("doc_id")["component"]
+    assert plain.loc[0] != plain.loc[1]

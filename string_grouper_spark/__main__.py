@@ -219,6 +219,7 @@ def main(argv: Optional[list] = None) -> int:
                 generators=tuple(g.strip() for g in args.generators.split(",") if g.strip()),
                 num_perm=args.num_perm, num_bands=args.num_bands,
                 max_bucket_size=args.max_bucket_size, salt_above=salt,
+                shingle=args.shingle,
                 text_col=args.text_col, id_col=args.id_col, drop_stats=stats,
             )
         elif args.checkpoint_root:

@@ -150,6 +150,8 @@ def near_duplicate_clusters_scale(
     max_hamming: int = 3,
     num_blocks: int = 4,
     anchor_len: int = 16,
+    shingle: str = "char",
+    shingle_words: int = 5,
     drop_stats: Optional[dict] = None,
 ) -> DataFrame:
     """The north rule's THREE INTERCHANGEABLE candidate generators behind one
@@ -201,10 +203,12 @@ def near_duplicate_clusters_scale(
     caches = []
     try:
         if cos_gens:
-            terms = doc_term_arrays(docs, cfg, text_col, id_col).persist()
+            terms = doc_term_arrays(
+                docs, cfg, text_col, id_col, shingle, shingle_words
+            ).persist()
             vecs = doc_vectors(
                 docs, cfg, num_perm, num_bands, text_col, id_col, n_docs,
-                terms=terms,
+                terms=terms, shingle=shingle, shingle_words=shingle_words,
             ).persist()
             caches += [terms, vecs]
             cands = []

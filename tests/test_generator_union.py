@@ -107,3 +107,20 @@ def test_generator_validation(spark):
         near_duplicate_clusters_scale(docs, generators=("minhash", "lsh2"))
     with pytest.raises(ValueError, match="at least one"):
         near_duplicate_clusters_scale(docs, generators=())
+
+
+def test_union_word_shingle_mode(spark):
+    # the published long-webtext config: word-5-gram shingles drive both the
+    # minhash banding and the exact re-score; erased-edit dups (case only —
+    # word boundaries preserved) still cluster, and the substring generator
+    # still contributes containment edges
+    long = " ".join(_BASE) + " " + " ".join(reversed(_BASE))
+    prefix = " ".join(long.split()[: int(len(long.split()) * 0.6)])
+    rows = [(0, long), (1, long.upper()), (2, prefix), (3, "tiny unrelated doc here")]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    cfg = MatchConfig(min_similarity=0.8, max_n_matches=1_000_000)
+    got = near_duplicate_clusters_scale(
+        docs, cfg, generators=("minhash", "substring"), shingle="word"
+    ).toPandas().set_index("doc_id")["component"]
+    assert got.loc[0] == got.loc[1] == got.loc[2] == 0
+    assert got.loc[3] == 3

@@ -580,6 +580,35 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+def simhash_fast_batch(texts, cfg: MatchConfig) -> np.ndarray:
+    """The ``engine='fast'`` per-batch kernel: iterable of texts -> int64
+    signatures.  Byte-pack gram codes (plans.fast_dedup._encode_doc)
+    splitmix64-mixed to uniform 64-bit hashes, tf-weighted bit votes in one
+    numpy pass per doc.  Shared by the batch ``simhash_signatures`` engine
+    and the streaming tag (``streaming_simhash_tag(engine='fast')``) so
+    stream and batch signatures are bit-identical by construction.
+    """
+    from ..plans.fast_dedup import _encode_doc
+
+    texts = list(texts)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    out = np.zeros(len(texts), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(texts):
+            codes, tfs = _encode_doc(t, cfg)
+            if codes is None or len(codes) == 0:
+                continue
+            hv = _splitmix64(codes.astype(np.int64).astype(np.uint64))
+            w = tfs.astype(np.float64)
+            bits = ((hv[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(
+                np.float64
+            )
+            acc = (w[:, None] * (2.0 * bits - 1.0)).sum(axis=0)
+            sig = _BIT_VALUES[acc > 0].sum(dtype=np.uint64)
+            out[i] = sig.astype(np.int64)
+    return out
+
+
 def simhash_signatures(
     docs: DataFrame,
     cfg: MatchConfig,
@@ -604,35 +633,21 @@ def simhash_signatures(
     if engine == "fast":
         from pyspark.sql.types import StructField, StructType
 
-        from ..plans.fast_dedup import _encode_doc
-
         schema = StructType(
             [
                 StructField("doc_id", LongType(), False),
                 StructField("simhash", LongType(), False),
             ]
         )
-        bit_idx = np.arange(64, dtype=np.uint64)
 
         def run(batches):
-            with np.errstate(over="ignore"):
-                for pdf in batches:
-                    out = np.zeros(len(pdf), dtype=np.int64)
-                    for i, t in enumerate(pdf[text_col]):
-                        codes, tfs = _encode_doc(t, cfg)
-                        if codes is None or len(codes) == 0:
-                            continue
-                        hv = _splitmix64(
-                            codes.astype(np.int64).astype(np.uint64)
-                        )
-                        w = tfs.astype(np.float64)
-                        bits = (
-                            (hv[:, None] >> bit_idx[None, :]) & np.uint64(1)
-                        ).astype(np.float64)
-                        acc = (w[:, None] * (2.0 * bits - 1.0)).sum(axis=0)
-                        sig = _BIT_VALUES[acc > 0].sum(dtype=np.uint64)
-                        out[i] = sig.astype(np.int64)
-                    yield pd.DataFrame({"doc_id": pdf[id_col], "simhash": out})
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col],
+                        "simhash": simhash_fast_batch(pdf[text_col], cfg),
+                    }
+                )
 
         return docs.select(id_col, text_col).mapInPandas(run, schema)
     tokens = tokenize(docs, cfg, text_col=text_col, id_col=id_col)

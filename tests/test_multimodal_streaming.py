@@ -154,6 +154,45 @@ def test_streaming_simhash_matches_batch(spark, tmp_path):
     assert got["simhash"].tolist() == batch["simhash"].tolist()
 
 
+def test_streaming_simhash_fast_engine_matches_batch_fast(spark, tmp_path):
+    # engine='fast' reuses the batch numpy kernel through a stateless
+    # mapInPandas: bit-identical to batch engine='fast', all input columns
+    # passed through (the streaming contract), no O(64L) interpreted votes
+    from string_grouper_spark.config import MatchConfig
+    from string_grouper_spark.operators.candidates import simhash_signatures
+
+    pages = generate_pages(spark, 60, seed=13)
+    src = f"{tmp_path}/src_fast"
+    pages.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(pages.schema).parquet(src)
+    tagged = streaming_simhash_tag(stream, text_col="text", id_col="url", engine="fast")
+    assert set(tagged.columns) == set(pages.columns) | {"simhash"}
+    q = (
+        tagged.writeStream.format("memory")
+        .queryName("sim_fast_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sim_fast_out").toPandas().sort_values("page_id")
+    assert len(got) == 60 and set(got.columns) == set(pages.columns) | {"simhash"}
+
+    cfg = MatchConfig()
+    batch = (
+        simhash_signatures(
+            pages.select(F.col("page_id").alias("doc_id"), "text"), cfg, engine="fast"
+        )
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert got["simhash"].tolist() == batch["simhash"].tolist()
+
+    with pytest.raises(ValueError, match="engine"):
+        streaming_simhash_tag(stream, engine="bogus")
+
+
 def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     # micro-batch near-dup matching against a frozen corpus: streamed
     # result must equal a one-shot matcher.match over the same rows, and

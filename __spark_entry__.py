@@ -600,6 +600,19 @@ def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "component")
 
 
+def q_sa_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed suffix-array pass (operators/suffix_array.py):
+    connected components over "shares an exact >= 16-byte normalized
+    substring".  The pass is EXACT (no fingerprint sampling), so the
+    oracle is the plain closure over the DuckDB 16-gram equality join on
+    the same normalization."""
+    from string_grouper_spark.operators.suffix_array import suffix_array_dedup
+
+    return suffix_array_dedup(
+        _docs(spark, sf_dir), MatchConfig(), min_len=16, num_partitions=16
+    ).select("doc_id", "component")
+
+
 def _pages_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic pages table in the BASELINE.json ``input_hint`` shape
     (url, warc_ts, html: binary, text-free), derived from the driver's
@@ -743,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_dedup": q_pages_dedup,
         "pages_canonical": q_pages_canonical,
         "union_dedup": q_union_dedup,
+        "sa_dedup": q_sa_dedup,
     }
 
 
@@ -1404,6 +1418,38 @@ _ORACLES["union_dedup"] = (
 SELECT doc_id, component FROM comp
 """
 )
+
+# sa_dedup: the suffix-array pass is exact, so the oracle is the plain
+# closure over "shares any 16-char substring of the normalized text" — a
+# DISTINCT 16-gram equality self-join (sharing a >= 16-byte run <=> sharing
+# a 16-gram), then the same recursive closure as the other dedup oracles.
+_ORACLES["sa_dedup"] = r"""
+WITH docs AS (
+  SELECT doc_id, regexp_replace(lower(text), '[,-./]|\s', '', 'g') AS norm
+  FROM documents
+),
+sgrams AS (
+  SELECT DISTINCT doc_id, substr(norm, i, 16) AS g
+  FROM docs, LATERAL (
+    SELECT unnest(generate_series(1, len(norm) - 15)) AS i) t
+  WHERE len(norm) >= 16
+),
+sapairs AS (
+  SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
+  FROM sgrams a JOIN sgrams b ON a.g = b.g AND a.doc_id < b.doc_id
+), sym AS (
+  SELECT l AS u, r AS v FROM sapairs UNION ALL SELECT r, l FROM sapairs
+), closure AS (
+  WITH RECURSIVE reach(src, dst) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT reach.src, sym.v FROM reach JOIN sym ON reach.dst = sym.u
+  ) SELECT * FROM reach
+)
+SELECT d.doc_id, least(d.doc_id, coalesce(min(c.dst), d.doc_id)) AS component
+FROM docs d LEFT JOIN closure c ON c.src = d.doc_id
+GROUP BY d.doc_id
+"""
 
 # pages_extract: the html wrapper is the exact inverse of extraction, so the
 # expected page_text IS the source text; url mirrors Spark's md5 hex.

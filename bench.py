@@ -10,7 +10,10 @@ Queries (the engine's production shapes):
   lsh_dedup       MinHash-LSH candidates -> exact re-score -> clusters (flagship)
   exact_pairs_1k  exact all-pairs TF-IDF join on a 1000-doc slice (parity path)
   simhash_cand    SimHash signatures + hamming-ball candidate join
-  substring       suffix-window containment pass
+  substring       suffix-window containment pass (winnowed fingerprints)
+  suffix_array    distributed suffix-array pass: exact shared >= 24-byte
+                  normalized runs via range-partitioned suffix sort +
+                  adjacent-LCP scan
   ann_topk        blocked-matmul exact cosine top-10 over embeddings (+
                   recall vs the per-pair oracle on a 100-query sample)
   text_stats      language-id + quality + fingerprint full scan
@@ -114,6 +117,15 @@ def main() -> None:
     timed(
         "substring",
         lambda: candidates.substring_containment(docs, cfg, anchor_len=24).count(),
+    )
+    # north-rule generator #3 as a true sorted-suffix structure: exact
+    # shared >= 24-byte runs, range-partitioned suffix sort + adjacent-LCP
+    # scan (linear in run length — no bucket-size caps needed)
+    from string_grouper_spark.operators.suffix_array import suffix_array_spans
+
+    timed(
+        "suffix_array",
+        lambda: suffix_array_spans(docs, cfg, min_len=24).count(),
     )
     # ANN headline = the SCALE path: blocked-matmul exact top-k (one BLAS
     # matmul per partition + local top-k, shuffle O(q*k*parts)) — exact by

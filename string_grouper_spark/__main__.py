@@ -53,7 +53,7 @@ def _build_parser() -> argparse.ArgumentParser:
                    "text extraction first (the Common-Crawl-style pages "
                    "input shape — url, warc_ts, html binary, lang)")
     d.add_argument("--generators", default=None,
-                   help="comma list from {minhash,simhash,substring}: run the "
+                   help="comma list from {minhash,simhash,substring,suffix}: run the "
                    "interchangeable-generator surface "
                    "(near_duplicate_clusters_scale) instead of the minhash "
                    "flagship — e.g. 'minhash,substring' also clusters exact "

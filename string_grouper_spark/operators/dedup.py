@@ -157,7 +157,11 @@ def near_duplicate_clusters_scale(
     """The north rule's THREE INTERCHANGEABLE candidate generators behind one
     clustering contract: ``'minhash'`` (LSH banding over shingles),
     ``'simhash'`` (64-bit signatures + Hamming-ball block join) and
-    ``'substring'`` (the winnowed suffix-window containment pass).
+    ``'substring'`` (the winnowed suffix-window containment pass).  A
+    fourth spelling, ``'suffix'``, swaps the winnowed index for the EXACT
+    distributed suffix-array pass (``operators.suffix_array``): every pair
+    sharing >= ``anchor_len`` normalized bytes becomes an edge, with no
+    fingerprint sampling.
 
     ``generators`` takes any non-empty subset; cosine generators (minhash /
     simhash) only PROPOSE pairs — the union of their candidates goes through
@@ -190,7 +194,7 @@ def near_duplicate_clusters_scale(
     cfg = cfg or MatchConfig()
     if isinstance(generators, str):
         generators = (generators,)
-    unknown = set(generators) - {"minhash", "simhash", "substring"}
+    unknown = set(generators) - {"minhash", "simhash", "substring", "suffix"}
     if unknown:
         raise ValueError(f"unknown candidate generators: {sorted(unknown)}")
     if not generators:
@@ -244,6 +248,15 @@ def near_duplicate_clusters_scale(
                 contain.select(
                     F.col("inner_id").alias("u"), F.col("outer_id").alias("v")
                 )
+            )
+        if "suffix" in generators:
+            from .suffix_array import suffix_array_spans
+
+            spans = suffix_array_spans(
+                docs, cfg, min_len=anchor_len, text_col=text_col, id_col=id_col
+            )
+            edge_parts.append(
+                spans.select(F.col("left").alias("u"), F.col("right").alias("v"))
             )
         edges = edge_parts[0]
         for extra in edge_parts[1:]:

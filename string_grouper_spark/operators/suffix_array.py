@@ -1,0 +1,289 @@
+"""Distributed suffix-array pass for exact substring duplicates.
+
+The north rule names three interchangeable candidate generators; this is
+the third — "a distributed suffix-array pass for exact substring dupes" —
+as a genuinely sorted suffix structure, complementing the winnowing
+fingerprint index (`candidates.substring_containment`, sampled with a
+window-length guarantee) with an EXACT pass: every pair of documents
+sharing a normalized byte run of length >= ``min_len`` is found, and the
+longest observed shared run (capped at the suffix truncation) is reported.
+
+No reference analogue: Bergvca/string_grouper has no substring operator
+(its surface is cosine similarity only, string_grouper.py:136-170); the
+shape here follows the suffix-array dedup construction published for LLM
+training corpora (Lee et al. 2021, "Deduplicating Training Data Makes
+Language Models Better") re-expressed Spark-first.
+
+The plan, and why it survives 100 TB:
+
+1. ONE narrow ``mapInPandas`` pass emits truncated suffixes
+   ``norm[i : i+truncate]`` per document (numpy normalization via the
+   shared ``py_normalize``; no shuffle; output bytes are bounded by
+   ``truncate`` x corpus bytes).
+2. ``repartitionByRange(suff)`` + ``sortWithinPartitions(suff)``: the
+   concatenation of sorted partitions IS the (truncated) suffix array of
+   the corpus.  Range partitioning is the skew story: a boilerplate run
+   repeated 10^9 times is SPLIT EVENLY across executors by the sampled
+   range bounds — no hot hash bucket, no salting, no size caps.
+3. A per-partition vectorized LCP scan over ADJACENT suffixes only.
+   Within a sorted run of m suffixes sharing a >= ``min_len`` prefix the
+   scan emits m-1 chain edges, never m^2/2 pairs — the megabucket blowup
+   every bucket-join generator has to guard against simply does not exist
+   here (LCP(s_i, s_j) = min of adjacent LCPs, so chain edges carry the
+   full connectivity of the run).
+4. The single missing adjacency per partition boundary (2 x numPartitions
+   tiny rows: first/last suffix of each sorted partition) is stitched
+   driver-side with the same numpy LCP kernel.
+5. Components come from the existing O(log n) large/small-star loop;
+   per-pair spans from one max aggregation over the slim edge triples.
+"""
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..config import MatchConfig
+
+_SUFF_SCHEMA = StructType(
+    [
+        StructField("suff", BinaryType(), False),
+        StructField("doc_id", LongType(), False),
+    ]
+)
+
+# tagged union: interior chain edges (is_edge=1) + partition boundary rows
+_SCAN_SCHEMA = StructType(
+    [
+        StructField("is_edge", IntegerType(), False),
+        StructField("left", LongType(), True),
+        StructField("right", LongType(), True),
+        StructField("span", IntegerType(), True),
+        StructField("bsuff", BinaryType(), True),
+        StructField("bid", LongType(), True),
+        StructField("bfirst", IntegerType(), True),
+    ]
+)
+
+
+def _emit_suffixes(
+    docs: DataFrame,
+    cfg: MatchConfig,
+    min_len: int,
+    truncate: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    from ..functions.normalize import py_normalize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            suffs, ids = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                b = py_normalize(text, cfg).encode("utf-8")
+                n = len(b)
+                for i in range(n - min_len + 1):
+                    suffs.append(b[i : i + truncate])
+                    ids.append(did)
+            yield pd.DataFrame(
+                {
+                    "suff": pd.Series(suffs, dtype=object),
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, _SUFF_SCHEMA)
+
+
+def _pairwise_lcp(suffs: list, min_len: int) -> np.ndarray:
+    """LCP between consecutive byte strings, vectorized.
+
+    Returns int32 array of length len(suffs)-1; entries are capped at the
+    (common) max length and at each member's own length.  Padding uses -1
+    in an int16 matrix, so two equal-length equal suffixes LCP out at
+    their true length, not the pad width.
+    """
+    m = len(suffs)
+    if m < 2:
+        return np.zeros(0, dtype=np.int32)
+    lens = np.fromiter((len(s) for s in suffs), dtype=np.int32, count=m)
+    w = int(lens.max())
+    mat = np.full((m, w), -1, dtype=np.int16)
+    for i, s in enumerate(suffs):
+        mat[i, : lens[i]] = np.frombuffer(s, dtype=np.uint8)
+    neq = mat[1:] != mat[:-1]
+    any_neq = neq.any(axis=1)
+    lcp = np.where(any_neq, neq.argmax(axis=1), w).astype(np.int32)
+    return np.minimum(lcp, np.minimum(lens[1:], lens[:-1]))
+
+
+def _chain_edges(ids: np.ndarray, lcp: np.ndarray, min_len: int):
+    """(left<right, span) triples for adjacent pairs with lcp >= min_len
+    and distinct docs.  Same-doc adjacencies are dropped — the chain
+    through them still connects the flanking docs transitively."""
+    keep = (lcp >= min_len) & (ids[1:] != ids[:-1])
+    l = np.minimum(ids[1:], ids[:-1])[keep]
+    r = np.maximum(ids[1:], ids[:-1])[keep]
+    return l, r, lcp[keep]
+
+
+def suffix_array_spans(
+    docs: DataFrame,
+    cfg: Optional[MatchConfig] = None,
+    min_len: int = 16,
+    truncate: Optional[int] = None,
+    num_partitions: Optional[int] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(left, right, span): cross-document exact shared normalized byte
+    runs of length >= ``min_len``, from a distributed sorted-suffix pass.
+
+    ``span`` is the longest ADJACENT shared prefix observed for the pair,
+    capped at ``truncate`` (default ``min_len + 32``) — a lower bound of
+    the true maximal shared span (exact when the true span <= truncate).
+    The emitted pairs are the chain edges of each sorted suffix run: a
+    linear-size spanning subset of the full "shares a >= min_len
+    substring" pair graph with identical connected components (use
+    ``suffix_array_dedup`` for the clustering).
+    """
+    cfg = cfg or MatchConfig()
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    truncate = truncate if truncate is not None else min_len + 32
+    if truncate < min_len:
+        raise ValueError("truncate must be >= min_len")
+
+    suffixes = _emit_suffixes(docs, cfg, min_len, truncate, text_col, id_col)
+    if num_partitions:
+        ranged = suffixes.repartitionByRange(num_partitions, "suff")
+    else:
+        ranged = suffixes.repartitionByRange("suff")
+    sorted_suff = ranged.sortWithinPartitions("suff", "doc_id")
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        prev_suff, prev_id = None, None
+        first_row = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            suffs = list(pdf["suff"])
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            if first_row is None:
+                first_row = (suffs[0], int(ids[0]))
+            if prev_suff is not None:
+                # stitch across Arrow batches inside this partition
+                suffs = [prev_suff] + suffs
+                ids = np.concatenate(([prev_id], ids))
+            lcp = _pairwise_lcp(suffs, min_len)
+            l, r, sp = _chain_edges(ids, lcp, min_len)
+            prev_suff, prev_id = suffs[-1], int(ids[-1])
+            if len(l):
+                yield pd.DataFrame(
+                    {
+                        "is_edge": np.ones(len(l), dtype=np.int32),
+                        "left": l,
+                        "right": r,
+                        "span": sp.astype(np.int32),
+                        "bsuff": None,
+                        "bid": np.zeros(len(l), dtype=np.int64),
+                        "bfirst": np.zeros(len(l), dtype=np.int32),
+                    }
+                )
+        if first_row is not None:
+            yield pd.DataFrame(
+                {
+                    "is_edge": [0, 0],
+                    "left": [0, 0],
+                    "right": [0, 0],
+                    "span": [0, 0],
+                    "bsuff": [first_row[0], prev_suff],
+                    "bid": [first_row[1], prev_id],
+                    "bfirst": [1, 0],
+                }
+            )
+
+    scanned = sorted_suff.mapInPandas(scan, _SCAN_SCHEMA)
+    scanned = scanned.persist()
+    try:
+        edges = scanned.where(F.col("is_edge") == 1).select("left", "right", "span")
+
+        # Partition-boundary stitch: 2 rows per non-empty partition.  The
+        # boundary rows sort globally exactly like the partitions they came
+        # from (range partitioning), so consecutive (last of p, first of q)
+        # pairs are precisely the missing adjacencies.
+        bnd = (
+            scanned.where(F.col("is_edge") == 0)
+            .select("bsuff", "bid", "bfirst")
+            .collect()
+        )
+        # bfirst=1 rows are partition minima; order boundary rows in global
+        # suffix order: by (suff, then first-before-last on ties).
+        bnd.sort(key=lambda row: (bytes(row.bsuff), -row.bfirst))
+        extra = []
+        for a, b in zip(bnd, bnd[1:]):
+            # only the last-of-one-partition -> first-of-next adjacency is
+            # missing from the interior scans
+            if a.bfirst == 0 and b.bfirst == 1:
+                lcp = _pairwise_lcp([bytes(a.bsuff), bytes(b.bsuff)], min_len)
+                if len(lcp) and lcp[0] >= min_len and a.bid != b.bid:
+                    extra.append(
+                        (min(a.bid, b.bid), max(a.bid, b.bid), int(lcp[0]))
+                    )
+        if extra:
+            spark = docs.sparkSession
+            edges = edges.unionByName(
+                spark.createDataFrame(
+                    extra,
+                    StructType(
+                        [
+                            StructField("left", LongType(), False),
+                            StructField("right", LongType(), False),
+                            StructField("span", IntegerType(), False),
+                        ]
+                    ),
+                )
+            )
+        out = (
+            edges.groupBy("left", "right")
+            .agg(F.max("span").alias("span"))
+            .localCheckpoint()
+        )
+    finally:
+        scanned.unpersist()
+    return out
+
+
+def suffix_array_dedup(
+    docs: DataFrame,
+    cfg: Optional[MatchConfig] = None,
+    min_len: int = 16,
+    truncate: Optional[int] = None,
+    num_partitions: Optional[int] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(<id_col>, component): connected components over "shares an exact
+    normalized substring of length >= ``min_len``" — component id = min
+    doc id, singletons kept (same output contract as the flagship)."""
+    from .grouping import connected_components
+
+    spans = suffix_array_spans(
+        docs, cfg, min_len, truncate, num_partitions, text_col, id_col
+    )
+    nodes = docs.select(F.col(id_col).cast("long").alias("node")).distinct()
+    comp = connected_components(spans.select("left", "right"), nodes=nodes)
+    cols = comp.columns
+    return comp.select(
+        F.col(cols[0]).alias(id_col), F.col(cols[1]).alias("component")
+    )

@@ -109,6 +109,38 @@ def test_generator_validation(spark):
         near_duplicate_clusters_scale(docs, generators=())
 
 
+def test_union_suffix_generator(spark):
+    # 'suffix' = the exact distributed suffix-array pass: a shared
+    # >= anchor_len normalized run is an edge even when cosine is far below
+    # threshold (long unrelated flanks) AND no containment holds — the case
+    # both the cosine leg and the winnowed containment generator miss
+    shared = "an exactly repeated boilerplate sentence fragment"
+    rows = [
+        (0, " ".join(_BASE) + " " + shared),
+        (1, shared + " " + " ".join(reversed(_BASE)) + " totally different tail"),
+        (2, "nothing in common with the others at all"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    cfg = MatchConfig(min_similarity=0.95, max_n_matches=1_000_000)
+    got = (
+        near_duplicate_clusters_scale(
+            docs, cfg, generators=("minhash", "suffix"), anchor_len=16
+        )
+        .toPandas()
+        .set_index("doc_id")["component"]
+    )
+    assert got.loc[0] == got.loc[1] == 0
+    assert got.loc[2] == 2
+    # cosine-only at the same config does NOT join them (proves the edge
+    # came from the suffix generator, not the re-score)
+    cos = (
+        near_duplicate_clusters_scale(docs, cfg, generators=("minhash",))
+        .toPandas()
+        .set_index("doc_id")["component"]
+    )
+    assert cos.loc[0] == 0 and cos.loc[1] == 1
+
+
 def test_union_word_shingle_mode(spark):
     # the published long-webtext config: word-5-gram shingles drive both the
     # minhash banding and the exact re-score; erased-edit dups (case only —

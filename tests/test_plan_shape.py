@@ -242,3 +242,28 @@ def test_generator_union_plan_has_no_cartesian(spark, docs):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_suffix_array_is_one_range_exchange(spark, docs):
+    # the distributed suffix-array construction must be: parquet scan ->
+    # narrow MapInPandas (suffix emission) -> EXACTLY ONE range-partitioning
+    # exchange -> in-partition sort -> MapInPandas LCP scan.  A hash
+    # exchange, a global sort, or a second shuffle before the scan would
+    # break the skew story (range bounds splitting hot boilerplate runs).
+    from string_grouper_spark.operators.suffix_array import _emit_suffixes
+
+    cfg = MatchConfig()
+    suff = _emit_suffixes(docs, cfg, 16, 48, "text", "doc_id")
+    sorted_suff = suff.repartitionByRange(8, "suff").sortWithinPartitions(
+        "suff", "doc_id"
+    )
+    plan = plan_of(sorted_suff)
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    # the in-partition sort must NOT be a global (all-partitions) sort:
+    # Sort [...], false, 0 — the 'false' is the global flag
+    assert "true, 0" not in plan, plan
+    # column pruning reaches the scan: only (doc_id, text) are read
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "lang" not in read and "n_chars" not in read

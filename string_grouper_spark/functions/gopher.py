@@ -1,0 +1,206 @@
+"""Gopher-style document quality filter (Rae et al. 2021, Table A1) — the
+standard webtext keep/drop gate, composed from the engine's existing
+repetition stats plus word/line-level screens, all in ONE Catalyst pass
+per family (no per-row Python anywhere).
+
+Every rule is a deterministic ratio with a published threshold; a failing
+rule contributes its name to ``drop_reasons`` so curation is auditable
+(the at-scale requirement: you never delete 40% of a crawl without a
+per-document WHY).  Thresholds are overridable per call.
+
+Rules (names = drop_reasons entries):
+
+  word_count          n_words outside [min_words, max_words]     (50, 100k)
+  mean_word_length    mean chars/word outside [3, 10]
+  symbol_ratio        ('#' chars + '...' runs) / n_words > 0.1
+  bullet_lines        > 90% of lines start with a bullet mark
+  ellipsis_lines      > 30% of lines end with '...' / '…'
+  alpha_words         < 80% of words contain an alphabetic char
+  stop_words          < 2 distinct English stop words present
+  dup_line_frac       repetition_stats > 0.30
+  dup_line_char_frac  repetition_stats > 0.20
+  top_{2,3,4}gram     top n-gram char share > 0.20 / 0.18 / 0.16
+  dup_{5..10}gram     dup n-gram char share > 0.15 .. 0.10
+
+Reference analogue: none — string_grouper has no quality gate; this is
+the LLM-pipeline extension the task brief asks for, shaped like the
+published Gopher filter set so results are comparable to the literature.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# published Gopher thresholds (Rae et al. 2021 Table A1)
+GOPHER_THRESHOLDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_length": 3.0,
+    "max_mean_word_length": 10.0,
+    "max_symbol_ratio": 0.1,
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
+    "min_stop_words": 2,
+    "max_dup_line_frac": 0.30,
+    "max_dup_line_char_frac": 0.20,
+    "max_top_2gram_char_frac": 0.20,
+    "max_top_3gram_char_frac": 0.18,
+    "max_top_4gram_char_frac": 0.16,
+    "max_dup_5gram_char_frac": 0.15,
+    "max_dup_6gram_char_frac": 0.14,
+    "max_dup_7gram_char_frac": 0.13,
+    "max_dup_8gram_char_frac": 0.12,
+    "max_dup_9gram_char_frac": 0.11,
+    "max_dup_10gram_char_frac": 0.10,
+}
+
+_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_BULLETS = ("-", "*", "•", "‣", "▪")
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+    thresholds: Optional[dict] = None,
+) -> DataFrame:
+    """Adds ``n_words``, ``drop_reasons`` (sorted array<string>, empty =
+    clean) and ``kept`` (boolean) to ``df``.
+
+    Plan shape: the word/line screens are scalar Catalyst expressions on
+    the text column (narrow, whole-stage codegen); the repetition family
+    joins in from ``repetition_stats``'s relational explode+agg pass —
+    one shuffle keyed by ``id_col``, no skewed-key windows.  At 100 TB the
+    whole filter is a map pass plus one partial-aggregated shuffle.
+    """
+    from .text_stats import repetition_stats
+
+    th = dict(GOPHER_THRESHOLDS)
+    th.update(thresholds or {})
+    t = F.col(text_col)
+
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    # sum of word lengths without a per-word lambda: join on the empty sep
+    word_chars = F.length(F.array_join(words, ""))
+    mean_wl = word_chars / F.greatest(n_words, F.lit(1))
+    hash_chars = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    ellipsis_runs = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = (hash_chars + ellipsis_runs) / F.greatest(n_words, F.lit(1))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = alpha_words / F.greatest(n_words, F.lit(1))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower),
+            F.array(*[F.lit(s) for s in _STOPS]),
+        )
+    )
+
+    # literal separator (escaped — split() takes a REGEX; see the
+    # corpus_line_dedup fix for the '.'/'|' separator trap)
+    lines = F.filter(
+        F.transform(F.split(t, re.escape(line_sep), -1), F.trim),
+        lambda ln: ln != F.lit(""),
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.substring(ln, 1, 1).isin(list(_BULLETS)),
+            )
+        )
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: ln.endswith("...") | ln.endswith("…"),
+            )
+        )
+        / n_lines
+    )
+
+    base = (
+        df.withColumn("n_words", n_words)
+        .withColumn("_mean_wl", mean_wl)
+        .withColumn("_symbol_ratio", symbol_ratio)
+        .withColumn("_alpha_frac", alpha_frac)
+        .withColumn("_stop_hits", stop_hits)
+        .withColumn("_bullet_frac", bullet_frac)
+        .withColumn("_ellipsis_frac", ellipsis_frac)
+    )
+
+    rep = repetition_stats(df, text_col=text_col, id_col=id_col, line_sep=line_sep)
+    rep_cols = [
+        "dup_line_frac", "dup_line_char_frac",
+        "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+        "dup_5gram_char_frac", "dup_6gram_char_frac", "dup_7gram_char_frac",
+        "dup_8gram_char_frac", "dup_9gram_char_frac", "dup_10gram_char_frac",
+    ]
+    joined = base.join(
+        rep.select(id_col, *rep_cols), id_col, "left"
+    )
+
+    def _flag(cond, name):
+        return F.when(cond, F.lit(name))
+
+    reasons = F.array(
+        _flag(
+            (F.col("n_words") < th["min_words"])
+            | (F.col("n_words") > th["max_words"]),
+            "word_count",
+        ),
+        _flag(
+            (F.col("_mean_wl") < th["min_mean_word_length"])
+            | (F.col("_mean_wl") > th["max_mean_word_length"]),
+            "mean_word_length",
+        ),
+        _flag(F.col("_symbol_ratio") > th["max_symbol_ratio"], "symbol_ratio"),
+        _flag(F.col("_bullet_frac") > th["max_bullet_line_frac"], "bullet_lines"),
+        _flag(
+            F.col("_ellipsis_frac") > th["max_ellipsis_line_frac"],
+            "ellipsis_lines",
+        ),
+        _flag(F.col("_alpha_frac") < th["min_alpha_word_frac"], "alpha_words"),
+        _flag(F.col("_stop_hits") < th["min_stop_words"], "stop_words"),
+        _flag(F.col("dup_line_frac") > th["max_dup_line_frac"], "dup_line_frac"),
+        _flag(
+            F.col("dup_line_char_frac") > th["max_dup_line_char_frac"],
+            "dup_line_char_frac",
+        ),
+        *[
+            _flag(
+                F.col(f"top_{n}gram_char_frac") > th[f"max_top_{n}gram_char_frac"],
+                f"top_{n}gram",
+            )
+            for n in (2, 3, 4)
+        ],
+        *[
+            _flag(
+                F.col(f"dup_{n}gram_char_frac") > th[f"max_dup_{n}gram_char_frac"],
+                f"dup_{n}gram",
+            )
+            for n in range(5, 11)
+        ],
+    )
+    reasons = F.array_sort(
+        F.filter(reasons, lambda r: r.isNotNull())
+    )
+    return (
+        joined.withColumn("drop_reasons", reasons)
+        .withColumn("kept", F.size("drop_reasons") == 0)
+        .drop(
+            "_mean_wl", "_symbol_ratio", "_alpha_frac", "_stop_hits",
+            "_bullet_frac", "_ellipsis_frac",
+        )
+    )

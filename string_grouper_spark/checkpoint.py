@@ -285,9 +285,21 @@ def checkpointed_lsh_dedup_pipeline(
         auto_skew_policy,
         bucket_drop_stats,
     )
+    from .operators.dedup import _INTEGRAL_DTYPES, run_with_long_ids
     from .operators.grouping import connected_components
     from .operators.similarity import LEFT, RIGHT, SIM, _sparse_dot
     from .plans.fast_dedup import doc_term_arrays, doc_vectors
+
+    if dict(docs.dtypes)[id_col] not in _INTEGRAL_DTYPES:
+        # xxhash64 is deterministic, so resume fingerprints stay stable
+        return run_with_long_ids(
+            docs, id_col,
+            lambda d, lid: checkpointed_lsh_dedup_pipeline(
+                spark, d, cfg, root, num_perm, num_bands, max_bucket_size,
+                salt_above, shingle, shingle_words, text_col, lid,
+                drop_stats, io,
+            ),
+        )
 
     knobs = {
         "plan": "fast_lsh", "num_perm": num_perm, "num_bands": num_bands,
@@ -369,3 +381,196 @@ def checkpointed_lsh_dedup_pipeline(
         upstream_fps=[ck.stage_fingerprint("pairs")],
     )
     return labels
+
+
+def checkpointed_union_dedup_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg,
+    root: str,
+    generators=("minhash",),
+    num_perm: int = 128,
+    num_bands: int = 64,
+    max_bucket_size: Optional[int] = 1000,
+    salt_above=None,
+    max_hamming: int = 3,
+    num_blocks: int = 4,
+    anchor_len: int = 16,
+    shingle: str = "char",
+    shingle_words: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    drop_stats: Optional[dict] = None,
+    io=None,
+) -> DataFrame:
+    """``near_duplicate_clusters_scale`` (the north rule's three
+    interchangeable candidate generators) with EVERY stage checkpointed —
+    the resume granularity a 10^12-document run actually needs: each
+    generator is its own stage table, so a crash during the suffix-array
+    pass resumes with the MinHash and SimHash candidate tables read back,
+    not recomputed.
+
+    Stage DAG (fingerprints chain, so editing any knob invalidates only
+    downstream):
+
+        vectors         shared narrow vectorize pass (cosine generators)
+        cand_minhash    LSH band bucket join -> candidate id-pairs
+        cand_simhash    Hamming-ball block join -> candidate id-pairs
+        edges_cosine    union of cosine candidates -> ONE exact re-score
+        edges_substring verified winnowed containments (direct edges)
+        edges_suffix    exact suffix-array shared-run spans (direct edges)
+        labels          connected components over the edge union
+
+    Output contract is IDENTICAL to ``near_duplicate_clusters_scale``:
+    (<id_col>, component), component = min id."""
+    from .operators.candidates import simhash_candidates, substring_containment
+    from .operators.grouping import connected_components
+    from .operators.similarity import LEFT, RIGHT
+    from .plans.fast_dedup import (
+        doc_term_arrays,
+        doc_vectors,
+        lsh_band_candidates,
+        rescore_candidates_with_vecs,
+    )
+
+    if isinstance(generators, str):
+        generators = (generators,)
+    unknown = set(generators) - {"minhash", "simhash", "substring", "suffix"}
+    if unknown:
+        raise ValueError(f"unknown candidate generators: {sorted(unknown)}")
+    if not generators:
+        raise ValueError("at least one candidate generator is required")
+    from .operators.dedup import _INTEGRAL_DTYPES, run_with_long_ids
+
+    if dict(docs.dtypes)[id_col] not in _INTEGRAL_DTYPES:
+        return run_with_long_ids(
+            docs, id_col,
+            lambda d, lid: checkpointed_union_dedup_pipeline(
+                spark, d, cfg, root, generators, num_perm, num_bands,
+                max_bucket_size, salt_above, max_hamming, num_blocks,
+                anchor_len, shingle, shingle_words, text_col, lid,
+                drop_stats, io,
+            ),
+        )
+
+    knobs = {
+        "plan": "union", "generators": sorted(generators),
+        "num_perm": num_perm, "num_bands": num_bands,
+        "max_bucket_size": max_bucket_size, "max_hamming": max_hamming,
+        "num_blocks": num_blocks, "anchor_len": anchor_len,
+        "shingle": shingle, "shingle_words": shingle_words,
+    }
+    ck = StageCheckpointer(
+        spark, root, run_config={"cfg": cfg, **knobs},
+        input_fp=input_fingerprint(docs, [id_col, text_col]), io=io,
+    )
+    n_docs = docs.count()
+    cos_gens = [g for g in generators if g in ("minhash", "simhash")]
+    edge_fps, edge_tables = [], []
+
+    if cos_gens:
+        cache = {}
+
+        def build_vecs():
+            terms = doc_term_arrays(
+                docs, cfg, text_col, id_col, shingle, shingle_words
+            )
+            cache["terms"] = terms.persist()
+            return doc_vectors(
+                docs, cfg, num_perm, num_bands, text_col, id_col, n_docs,
+                terms=cache["terms"], shingle=shingle,
+                shingle_words=shingle_words,
+            )
+
+        vecs = ck.stage("vectors", build_vecs)
+        if "terms" in cache:
+            cache["terms"].unpersist()
+        fp_vecs = ck.stage_fingerprint("vectors")
+
+        cand_fps, cand_tables = [], []
+        if "minhash" in cos_gens:
+            cand_tables.append(
+                ck.stage(
+                    "cand_minhash",
+                    lambda: lsh_band_candidates(
+                        vecs, max_bucket_size, salt_above=salt_above,
+                        drop_stats=drop_stats,
+                    ),
+                    upstream_fps=[fp_vecs],
+                )
+            )
+            cand_fps.append(ck.stage_fingerprint("cand_minhash"))
+            if drop_stats:
+                ck._append_metrics(
+                    {"stage": "skew_policy", "fingerprint": cand_fps[-1],
+                     **drop_stats}
+                )
+        if "simhash" in cos_gens:
+            # derives from docs directly (signatures, not the TF-IDF vector
+            # stage) — so vector-knob changes must NOT invalidate it
+            cand_tables.append(
+                ck.stage(
+                    "cand_simhash",
+                    lambda: simhash_candidates(
+                        docs, cfg, max_hamming=max_hamming,
+                        num_blocks=num_blocks,
+                        max_bucket_size=max_bucket_size, text_col=text_col,
+                        id_col=id_col, engine="fast",
+                    ).select(LEFT, RIGHT),
+                )
+            )
+            cand_fps.append(ck.stage_fingerprint("cand_simhash"))
+
+        def build_cos_edges():
+            cand = cand_tables[0]
+            for extra in cand_tables[1:]:
+                cand = cand.unionByName(extra)
+            if len(cand_tables) > 1:
+                cand = cand.dropDuplicates([LEFT, RIGHT])
+            scored = rescore_candidates_with_vecs(cand, vecs, cfg)
+            return scored.select(
+                F.col(LEFT).alias("u"), F.col(RIGHT).alias("v")
+            )
+
+        edge_tables.append(
+            ck.stage("edges_cosine", build_cos_edges, upstream_fps=[fp_vecs] + cand_fps)
+        )
+        edge_fps.append(ck.stage_fingerprint("edges_cosine"))
+
+    if "substring" in generators:
+        edge_tables.append(
+            ck.stage(
+                "edges_substring",
+                lambda: substring_containment(
+                    docs, cfg, anchor_len=anchor_len, text_col=text_col,
+                    id_col=id_col,
+                ).select(
+                    F.col("inner_id").alias("u"), F.col("outer_id").alias("v")
+                ),
+            )
+        )
+        edge_fps.append(ck.stage_fingerprint("edges_substring"))
+
+    if "suffix" in generators:
+        from .operators.suffix_array import suffix_array_spans
+
+        edge_tables.append(
+            ck.stage(
+                "edges_suffix",
+                lambda: suffix_array_spans(
+                    docs, cfg, min_len=anchor_len, text_col=text_col,
+                    id_col=id_col,
+                ).select(F.col("left").alias("u"), F.col("right").alias("v")),
+            )
+        )
+        edge_fps.append(ck.stage_fingerprint("edges_suffix"))
+
+    def build_labels():
+        edges = edge_tables[0]
+        for extra in edge_tables[1:]:
+            edges = edges.unionByName(extra)
+        return connected_components(
+            edges, docs.select(F.col(id_col))
+        ).withColumnRenamed("node", id_col)
+
+    return ck.stage("labels", build_labels, upstream_fps=edge_fps)

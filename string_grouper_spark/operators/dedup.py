@@ -19,6 +19,50 @@ from .matching import match_edges
 from .similarity import LEFT, RIGHT, SIM
 
 
+_INTEGRAL_DTYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def run_with_long_ids(docs: DataFrame, id_col: str, run):
+    """Make any id dtype work on the int64-keyed scale plans.
+
+    The fast plans' Arrow kernels key their packed vectors on int64 ids
+    (the right shuffle key at 10^12 rows), but webtext ids are naturally
+    STRINGS (the input_hint's ``url``).  When ``id_col`` is not integral,
+    map it through ``xxhash64`` — deterministic, so checkpoint resume and
+    repeated runs agree — run the pipeline on the hashed id, then translate
+    each component label back to ``min(original id)`` so the public
+    contract (component = min id, in the CALLER's id space) holds.
+
+    Collisions are CHECKED (one count-distinct pass) and raise instead of
+    silently merging two documents: at 10^12 ids the expected number of
+    xxhash64 collisions is ~0.03, so the check is a guard rail, not a
+    likely exit.  ``run(docs2, id_col2) -> (<id_col2>, component)`` is the
+    wrapped pipeline.
+    """
+    dtype = dict(docs.dtypes)[id_col]
+    if dtype in _INTEGRAL_DTYPES:
+        return run(docs, id_col)
+    LID = "_sg_lid"
+    mapped = docs.withColumn(LID, F.xxhash64(F.col(id_col)))
+    stats = mapped.agg(
+        F.countDistinct(id_col).alias("n_ids"),
+        F.countDistinct(LID).alias("n_lids"),
+    ).first()
+    if stats["n_lids"] < stats["n_ids"]:
+        raise ValueError(
+            f"xxhash64 collision while mapping non-integral id column "
+            f"{id_col!r} ({stats['n_ids']} ids -> {stats['n_lids']} hashes); "
+            "pre-assign unique int64 ids to disambiguate"
+        )
+    labels = run(mapped, LID)
+    id_map = mapped.select(id_col, LID)
+    joined = labels.join(id_map, LID)
+    rep = joined.groupBy("component").agg(F.min(id_col).alias("_sg_comp"))
+    return joined.join(rep, "component").select(
+        F.col(id_col), F.col("_sg_comp").alias("component")
+    )
+
+
 def exact_duplicate_groups(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -199,6 +243,15 @@ def near_duplicate_clusters_scale(
         raise ValueError(f"unknown candidate generators: {sorted(unknown)}")
     if not generators:
         raise ValueError("at least one candidate generator is required")
+    if dict(docs.dtypes)[id_col] not in _INTEGRAL_DTYPES:
+        return run_with_long_ids(
+            docs, id_col,
+            lambda d, lid: near_duplicate_clusters_scale(
+                d, cfg, generators, text_col, lid, n_docs, num_perm,
+                num_bands, max_bucket_size, salt_above, max_hamming,
+                num_blocks, anchor_len, shingle, shingle_words, drop_stats,
+            ),
+        )
     if n_docs is None:
         n_docs = docs.count()
 

@@ -325,8 +325,16 @@ def suffix_array_dedup(
     """(<id_col>, component): connected components over "shares an exact
     normalized substring of length >= ``min_len``" — component id = min
     doc id, singletons kept (same output contract as the flagship)."""
+    from .dedup import _INTEGRAL_DTYPES, run_with_long_ids
     from .grouping import connected_components
 
+    if dict(docs.dtypes)[id_col] not in _INTEGRAL_DTYPES:
+        return run_with_long_ids(
+            docs, id_col,
+            lambda d, lid: suffix_array_dedup(
+                d, cfg, min_len, truncate, num_partitions, text_col, lid
+            ),
+        )
     spans = suffix_array_spans(
         docs, cfg, min_len, truncate, num_partitions, text_col, id_col
     )

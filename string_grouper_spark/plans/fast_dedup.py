@@ -456,9 +456,20 @@ def fast_lsh_dedup(
     output-invariant.  Pass a ``drop_stats`` dict to also receive the
     accounting programmatically.
     """
+    from ..operators.dedup import _INTEGRAL_DTYPES, run_with_long_ids
     from ..operators.grouping import connected_components
 
     cfg = cfg or MatchConfig()
+    if dict(docs.dtypes)[id_col] not in _INTEGRAL_DTYPES:
+        # string/url ids: deterministic int64 mapping + min-orig-id relabel
+        return run_with_long_ids(
+            docs, id_col,
+            lambda d, lid: fast_lsh_dedup(
+                d, cfg, num_perm, num_bands, max_bucket_size, text_col, lid,
+                n_docs, min_band_matches, shingle, shingle_words, salt_above,
+                drop_stats,
+            ),
+        )
     if n_docs is None:
         n_docs = docs.count()
     # persist the terms pass: it feeds BOTH the idf collect and the vector

@@ -196,3 +196,60 @@ def test_lsh_pipeline_checkpointed_matches_fast_and_resumes(spark, docs, tmp_pat
         ).toPandas()
     )
     pd.testing.assert_frame_equal(r2, r1)
+
+
+def test_union_pipeline_checkpointed_matches_scale_and_resumes(spark, docs, tmp_path):
+    # the THREE-GENERATOR checkpointed variant: per-generator stage tables,
+    # same values as near_duplicate_clusters_scale, partial resume (only a
+    # deleted stage rebuilds; untouched generator stages are skipped)
+    import json
+    import os
+
+    from string_grouper_spark.checkpoint import checkpointed_union_dedup_pipeline
+    from string_grouper_spark.operators.dedup import near_duplicate_clusters_scale
+
+    cfg = MatchConfig(min_similarity=0.8, max_n_matches=1_000_000)
+    gens = ("minhash", "simhash", "suffix")
+    kw = dict(num_perm=128, num_bands=32, max_bucket_size=None, anchor_len=16)
+    c = lambda d: d.sort_values("doc_id").reset_index(drop=True)
+
+    direct = c(
+        near_duplicate_clusters_scale(docs, cfg, generators=gens, **kw).toPandas()
+    )
+    r1 = c(
+        checkpointed_union_dedup_pipeline(
+            spark, docs, cfg, str(tmp_path), generators=gens, **kw
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(r1, direct)
+    assert list(r1.columns) == ["doc_id", "component"]
+    for stage in ("vectors", "cand_minhash", "cand_simhash", "edges_cosine",
+                  "edges_suffix", "labels"):
+        assert os.path.exists(f"{tmp_path}/{stage}/_stage_meta.json"), stage
+
+    # full resume: identical output, no stage rebuilt (meta mtimes unchanged)
+    mt = {
+        s: os.path.getmtime(f"{tmp_path}/{s}/_stage_meta.json")
+        for s in ("vectors", "cand_minhash", "cand_simhash", "edges_suffix")
+    }
+    r2 = c(
+        checkpointed_union_dedup_pipeline(
+            spark, docs, cfg, str(tmp_path), generators=gens, **kw
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(r2, r1)
+    for s, t in mt.items():
+        assert os.path.getmtime(f"{tmp_path}/{s}/_stage_meta.json") == t, s
+
+    # partial resume: kill ONE generator stage -> only it (and downstream
+    # labels) rebuild; the other generators stay skipped
+    os.remove(f"{tmp_path}/edges_suffix/_stage_meta.json")
+    r3 = c(
+        checkpointed_union_dedup_pipeline(
+            spark, docs, cfg, str(tmp_path), generators=gens, **kw
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(r3, r1)
+    for s in ("vectors", "cand_minhash", "cand_simhash"):
+        assert os.path.getmtime(f"{tmp_path}/{s}/_stage_meta.json") == mt[s], s
+    assert os.path.exists(f"{tmp_path}/edges_suffix/_stage_meta.json")

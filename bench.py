@@ -17,6 +17,11 @@ Queries (the engine's production shapes):
   ann_topk        blocked-matmul exact cosine top-10 over embeddings (+
                   recall vs the per-pair oracle on a 100-query sample)
   text_stats      language-id + quality + fingerprint full scan
+  gopher          the published Gopher quality gate (19 thresholds: word/
+                  line screens + the full repetition family), kept-count
+  warc_read       Common-Crawl container ingest: 32 .warc.gz shards ->
+                  distributed member-by-member parse -> byte-exact text
+                  extraction (write is untimed setup)
   pages_dedup     north-rule table shape end-to-end: pages(html binary) ->
                   byte-exact text extraction -> flagship LSH dedup, with
                   dup-pair recall vs generated ground truth and
@@ -210,6 +215,17 @@ def main() -> None:
         .agg(F.count(F.lit(1)))
         .first()[0],
     )
+    # the published Gopher gate: word/line screens + the full repetition
+    # family in one map pass + one partial-agg shuffle
+    from string_grouper_spark.functions.gopher import gopher_filter  # noqa: E402
+
+    # sf0.1 documents arrive as ONE parquet split; a real crawl arrives as
+    # thousands — repartition so the narrow stats pass runs parallel like
+    # it would on real input (partitioning is the caller's concern)
+    gdocs = docs.repartition(int(cpus)).persist()
+    gdocs.count()
+    timed("gopher", lambda: gopher_filter(gdocs).where(F.col("kept")).count())
+    gdocs.unpersist()
 
     # ---- north-rule table shape: pages(url, warc_ts, html binary, lang) ----
     # Synthesized ON EXECUTORS (no driver materialization), text recovered
@@ -291,6 +307,24 @@ def main() -> None:
     counters["pages_dup_pair_recall_all_pct"] = round(
         100.0 * len(utpairs & ugpairs) / max(1, len(utpairs)), 2
     )
+    # the Common-Crawl CONTAINER path: shards written once (untimed setup),
+    # then the distributed read -> byte-exact extraction -> count, the
+    # ingest stage every real crawl job pays (one task per shard)
+    import shutil
+    import tempfile
+
+    from string_grouper_spark.sources.warc import warc_to_pages, write_warc
+
+    warc_dir = tempfile.mkdtemp(prefix="sgspark_bench_warc_")
+    manifest = write_warc(pages, warc_dir, num_files=32)
+    counters["warc_shard_bytes"] = int(manifest["n_bytes"].sum())
+    timed(
+        "warc_read",
+        lambda: warc_to_pages(spark, warc_dir)
+        .agg(F.count("text"))
+        .first()[0],
+    )
+    shutil.rmtree(warc_dir, ignore_errors=True)
     pages.unpersist()
     pdocs.unpersist()
 

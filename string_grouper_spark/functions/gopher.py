@@ -83,61 +83,68 @@ def gopher_filter(
 
     th = dict(GOPHER_THRESHOLDS)
     th.update(thresholds or {})
-    t = F.col(text_col)
 
-    words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
-    n_words = F.size(words)
-    # sum of word lengths without a per-word lambda: join on the empty sep
-    word_chars = F.length(F.array_join(words, ""))
-    mean_wl = word_chars / F.greatest(n_words, F.lit(1))
-    hash_chars = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
-    ellipsis_runs = (
-        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
-    ) / 3
-    symbol_ratio = (hash_chars + ellipsis_runs) / F.greatest(n_words, F.lit(1))
-    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    alpha_frac = alpha_words / F.greatest(n_words, F.lit(1))
-    stop_hits = F.size(
-        F.array_intersect(
-            F.transform(words, F.lower),
-            F.array(*[F.lit(s) for s in _STOPS]),
-        )
+    # The seven scalar screens run in ONE vectorized Arrow pass.  They were
+    # first written as Catalyst higher-order-function lambdas; HOFs are
+    # INTERPRETED and projection collapse inlines the whole tree into every
+    # downstream use (drop_reasons, kept, any pushed filter) with no
+    # common-subexpression elimination — a `.where(kept)` re-evaluated the
+    # screens ~4x (measured 6 -> 44 s at sf0.1).  A Python UDF is extracted
+    # into its own ArrowEvalPython node, deduplicated, and evaluated ONCE —
+    # the barrier makes downstream predicate shape irrelevant.  (Interpreted
+    # HOF kill #7; see the module-level perf notes in BASELINE.md.)
+    screens_type = (
+        "n_words int, mean_wl double, symbol_ratio double, alpha_frac double,"
+        " stop_hits int, bullet_frac double, ellipsis_frac double"
     )
+    word_re = re.compile(r"\s+")
+    alpha_re = re.compile(r"[A-Za-z]")
+    sep = line_sep
+    stops = frozenset(_STOPS)
+    bullets = tuple(_BULLETS)
 
-    # literal separator (escaped — split() takes a REGEX; see the
-    # corpus_line_dedup fix for the '.'/'|' separator trap)
-    lines = F.filter(
-        F.transform(F.split(t, re.escape(line_sep), -1), F.trim),
-        lambda ln: ln != F.lit(""),
-    )
-    n_lines = F.greatest(F.size(lines), F.lit(1))
-    bullet_frac = (
-        F.size(
-            F.filter(
-                lines,
-                lambda ln: F.substring(ln, 1, 1).isin(list(_BULLETS)),
+    @F.pandas_udf(screens_type)
+    def _screens(texts):  # pd.Series[str] -> pd.DataFrame
+        import pandas as pd
+
+        rows = []
+        for t in texts:
+            t = t or ""
+            words = [w for w in word_re.split(t) if w]
+            n = len(words)
+            d = max(n, 1)
+            lines = [ln for ln in (x.strip(" ") for x in t.split(sep)) if ln]
+            nl = max(len(lines), 1)
+            rows.append(
+                (
+                    n,
+                    sum(map(len, words)) / d,
+                    (t.count("#") + t.count("...")) / d,
+                    sum(1 for w in words if alpha_re.search(w)) / d,
+                    len({w.lower() for w in words} & stops),
+                    sum(1 for ln in lines if ln.startswith(bullets)) / nl,
+                    sum(1 for ln in lines if ln.endswith("...") or ln.endswith("…"))
+                    / nl,
+                )
             )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_words", "mean_wl", "symbol_ratio", "alpha_frac",
+                "stop_hits", "bullet_frac", "ellipsis_frac",
+            ],
         )
-        / n_lines
-    )
-    ellipsis_frac = (
-        F.size(
-            F.filter(
-                lines,
-                lambda ln: ln.endswith("...") | ln.endswith("…"),
-            )
-        )
-        / n_lines
-    )
 
     base = (
-        df.withColumn("n_words", n_words)
-        .withColumn("_mean_wl", mean_wl)
-        .withColumn("_symbol_ratio", symbol_ratio)
-        .withColumn("_alpha_frac", alpha_frac)
-        .withColumn("_stop_hits", stop_hits)
-        .withColumn("_bullet_frac", bullet_frac)
-        .withColumn("_ellipsis_frac", ellipsis_frac)
+        df.withColumn("_s", _screens(F.col(text_col)))
+        .withColumn("n_words", F.col("_s.n_words"))
+        .withColumn("_mean_wl", F.col("_s.mean_wl"))
+        .withColumn("_symbol_ratio", F.col("_s.symbol_ratio"))
+        .withColumn("_alpha_frac", F.col("_s.alpha_frac"))
+        .withColumn("_stop_hits", F.col("_s.stop_hits"))
+        .withColumn("_bullet_frac", F.col("_s.bullet_frac"))
+        .withColumn("_ellipsis_frac", F.col("_s.ellipsis_frac"))
+        .drop("_s")
     )
 
     rep = repetition_stats(df, text_col=text_col, id_col=id_col, line_sep=line_sep)

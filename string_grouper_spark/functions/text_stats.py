@@ -8,6 +8,8 @@ plain ANSI SQL for the DuckDB oracle gate.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -124,6 +126,7 @@ def repetition_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     line_sep: str = "\n",
+    engine: str = "fast",
 ) -> DataFrame:
     """Gopher-style repetition features per doc (Rae et al. 2021's
     repetitious-text filters, the standard webtext quality gate):
@@ -165,7 +168,24 @@ def repetition_stats(
     Docs with no non-empty lines are kept with zero counts via the
     join-back on ``df`` ids.  All fractions round to 6dp so an independent
     SQL engine hash-matches.
+
+    ``engine='fast'`` (default): the per-(doc, n) gram statistics come from
+    ONE narrow ``mapInPandas`` pass — a per-doc ``Counter`` emits exact
+    INTEGER stats (top count / top length / total chars / dup chars /
+    occurrence count), with every division and 6dp round left in Spark so
+    values are bit-identical to ``engine='catalyst'``.  The catalyst
+    engine's gram generator (``transform`` + ``slice`` + ``array_join``
+    per position per order) is INTERPRETED and measured ~40 s at sf0.1
+    once all columns materialize (interpreted-HOF kill #7); the fast pass
+    also removes the (doc, n, gram) shuffle entirely — gram counting never
+    leaves the executor that holds the doc, which at 100 TB is the
+    difference between a map pass and a corpus-sized exchange.  The
+    tie-break compares UTF-8 BYTES, matching Spark's and DuckDB's binary
+    string order.  Cross-doc aggregation never happens in either engine,
+    so there is no skew key to salt.
     """
+    if engine not in ("fast", "catalyst"):
+        raise ValueError(f"unknown engine {engine!r}")
     ids = df.select(id_col)
     lines = df.select(
         id_col,
@@ -184,47 +204,103 @@ def repetition_stats(
         F.sum(F.col("_cnt") * F.length("_line")).alias("_tot_chars"),
     )
 
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     top_ns, dup_ns = (2, 3, 4), (5, 6, 7, 8, 9, 10)
     all_ns = top_ns + dup_ns
-    # ONE explode carries every n: (doc, n, gram) rows for n-grams of all
-    # the orders the Gopher family needs
-    def _gram_lambda(n):
-        # factory, NOT a default-arg lambda: F.transform treats a two-
-        # parameter lambda as (element, index) and would bind ``n`` to the
-        # array index
-        return lambda i: F.struct(
-            F.lit(n).alias("_n"),
-            F.array_join(F.slice(words, i + 1, n), " ").alias("_g"),
+    if engine == "fast":
+        id_type = dict(df.dtypes)[id_col]
+        stats_schema = (
+            f"{id_col} {id_type}, _n int, _top_cnt bigint, _top_l int,"
+            " _tot_ch bigint, _dup_ch bigint, _n_grams bigint"
         )
+        word_re = re.compile(r"\s+")
 
-    gram_arrays = [
-        F.when(
-            F.size(words) >= n,
-            F.transform(F.sequence(F.lit(0), F.size(words) - n), _gram_lambda(n)),
-        ).otherwise(F.array().cast("array<struct<_n:int,_g:string>>"))
-        for n in all_ns
-    ]
-    grams = df.select(
-        id_col, F.explode(F.flatten(F.array(*gram_arrays))).alias("_gr")
-    ).select(id_col, F.col("_gr._n").alias("_n"), F.col("_gr._g").alias("_g"))
-    per_gram = grams.groupBy(id_col, "_n", "_g").agg(F.count(F.lit(1)).alias("_cnt"))
-    glen = F.length("_g")
-    gram_stats = per_gram.groupBy(id_col, "_n").agg(
-        # deterministic top gram: count, then char length, then the gram
-        F.max(F.struct(F.col("_cnt"), glen.alias("_l"), F.col("_g"))).alias("_top"),
-        F.sum(F.col("_cnt") * glen).alias("_tot_ch"),
-        F.sum(F.when(F.col("_cnt") > 1, F.col("_cnt") * glen).otherwise(0)).alias("_dup_ch"),
-        F.max("_cnt").alias("_top_cnt"),
-        F.sum("_cnt").alias("_n_grams"),
-    )
-    per_n = gram_stats.select(
-        id_col,
-        "_n",
-        F.round(F.col("_top_cnt") / F.col("_n_grams"), 6).alias("_count_frac"),
-        F.round(F.col("_top._cnt") * F.col("_top._l") / F.col("_tot_ch"), 6).alias("_top_frac"),
-        F.round(F.col("_dup_ch") / F.col("_tot_ch"), 6).alias("_dup_frac"),
-    )
+        def _gram_stats(batches):
+            import pandas as pd
+            from collections import Counter
+
+            for pdf in batches:
+                rows = []
+                for did, text in zip(pdf[id_col], pdf[text_col]):
+                    ws = [w for w in word_re.split(text or "") if w]
+                    L = len(ws)
+                    for n in all_ns:
+                        if L < n:
+                            continue
+                        counts = Counter(
+                            " ".join(ws[i : i + n]) for i in range(L - n + 1)
+                        )
+                        top_key, tot, dup, ng = None, 0, 0, 0
+                        for g, c in counts.items():
+                            gl = len(g)
+                            tot += c * gl
+                            ng += c
+                            if c > 1:
+                                dup += c * gl
+                            # (count, char len, utf-8 bytes): Spark's
+                            # max(struct(cnt, len, gram)) under binary
+                            # string order, exactly
+                            key = (c, gl, g.encode("utf-8"))
+                            if top_key is None or key > top_key:
+                                top_key = key
+                        rows.append((did, n, top_key[0], top_key[1], tot, dup, ng))
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        id_col, "_n", "_top_cnt", "_top_l", "_tot_ch",
+                        "_dup_ch", "_n_grams",
+                    ],
+                )
+
+        gram_stats = df.select(id_col, text_col).mapInPandas(
+            _gram_stats, stats_schema
+        )
+        per_n = gram_stats.select(
+            id_col,
+            "_n",
+            F.round(F.col("_top_cnt") / F.col("_n_grams"), 6).alias("_count_frac"),
+            F.round(F.col("_top_cnt") * F.col("_top_l") / F.col("_tot_ch"), 6).alias("_top_frac"),
+            F.round(F.col("_dup_ch") / F.col("_tot_ch"), 6).alias("_dup_frac"),
+        )
+    else:
+        words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+        # ONE explode carries every n: (doc, n, gram) rows for n-grams of all
+        # the orders the Gopher family needs
+        def _gram_lambda(n):
+            # factory, NOT a default-arg lambda: F.transform treats a two-
+            # parameter lambda as (element, index) and would bind ``n`` to the
+            # array index
+            return lambda i: F.struct(
+                F.lit(n).alias("_n"),
+                F.array_join(F.slice(words, i + 1, n), " ").alias("_g"),
+            )
+
+        gram_arrays = [
+            F.when(
+                F.size(words) >= n,
+                F.transform(F.sequence(F.lit(0), F.size(words) - n), _gram_lambda(n)),
+            ).otherwise(F.array().cast("array<struct<_n:int,_g:string>>"))
+            for n in all_ns
+        ]
+        grams = df.select(
+            id_col, F.explode(F.flatten(F.array(*gram_arrays))).alias("_gr")
+        ).select(id_col, F.col("_gr._n").alias("_n"), F.col("_gr._g").alias("_g"))
+        per_gram = grams.groupBy(id_col, "_n", "_g").agg(F.count(F.lit(1)).alias("_cnt"))
+        glen = F.length("_g")
+        gram_stats = per_gram.groupBy(id_col, "_n").agg(
+            # deterministic top gram: count, then char length, then the gram
+            F.max(F.struct(F.col("_cnt"), glen.alias("_l"), F.col("_g"))).alias("_top"),
+            F.sum(F.col("_cnt") * glen).alias("_tot_ch"),
+            F.sum(F.when(F.col("_cnt") > 1, F.col("_cnt") * glen).otherwise(0)).alias("_dup_ch"),
+            F.max("_cnt").alias("_top_cnt"),
+            F.sum("_cnt").alias("_n_grams"),
+        )
+        per_n = gram_stats.select(
+            id_col,
+            "_n",
+            F.round(F.col("_top_cnt") / F.col("_n_grams"), 6).alias("_count_frac"),
+            F.round(F.col("_top._cnt") * F.col("_top._l") / F.col("_tot_ch"), 6).alias("_top_frac"),
+            F.round(F.col("_dup_ch") / F.col("_tot_ch"), 6).alias("_dup_frac"),
+        )
     pivoted = per_n.groupBy(id_col).pivot("_n", list(all_ns)).agg(
         F.first("_count_frac").alias("cf"),
         F.first("_top_frac").alias("tf"),

@@ -488,3 +488,29 @@ def test_prefit_ann_index_save_load_identical_results(spark, tmp_path, embedding
         g = got.sort_values(["query_id", "item_id"]).reset_index(drop=True)
         assert list(zip(w.query_id, w.item_id)) == list(zip(g.query_id, g.item_id)), method
         assert np.allclose(w.cos.to_numpy(), g.cos.to_numpy()), method
+
+
+def test_repetition_engines_identical(spark):
+    # engine='fast' (per-doc Counter via mapInPandas, integer stats out,
+    # divisions in Spark) must be BIT-identical to the relational catalyst
+    # engine — including count ties broken by (cnt, len, utf-8-byte gram)
+    import pandas as pd
+
+    texts = [
+        "",  # empty
+        "one",  # below every n
+        "a b a b a b a b a b",  # heavy bigram repetition + ties
+        "x y z w v u t s r q p o n m l k j i h g f e d c b a",  # no repeats
+        "tie aa tie bb tie aa tie bb",  # count tie, length tie -> byte order
+        "über café über café naïve über café",  # non-ascii grams
+        "line one\nline one\nline two\nline three",  # dup lines
+        ("w%d " % 1) * 12 + " ".join("w%d" % i for i in range(30)),
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    from string_grouper_spark.functions import text_stats
+
+    c = lambda d: d.sort_values("doc_id").reset_index(drop=True)
+    fast = c(text_stats.repetition_stats(df, engine="fast").toPandas())
+    cat = c(text_stats.repetition_stats(df, engine="catalyst").toPandas())
+    pd.testing.assert_frame_equal(fast, cat)

@@ -707,6 +707,35 @@ def q_pages_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host duplication report (functions/urls.py host_dup_stats): two
+    synthetic 'crawls' of the documents corpus — every doc on one of five
+    primary hosts, every third doc crawled AGAIN from a mirror host — give
+    exact-content clusters that span hosts.  The oracle rebuilds the same
+    union, min-id components, and per-host fractions in SQL."""
+    from string_grouper_spark.functions.urls import host_dup_stats
+
+    docs = _docs(spark, sf_dir)
+    key = F.md5(F.col("doc_id").cast("string"))
+    a = docs.select(
+        F.col("doc_id").alias("page_id"),
+        F.concat(
+            F.lit("https://h"), F.pmod(F.col("doc_id"), F.lit(5)),
+            F.lit(".example.org/p/"), key,
+        ).alias("url"),
+        "text",
+    )
+    b = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("page_id"),
+        F.concat(F.lit("https://mirror.example.net/p/"), key).alias("url"),
+        "text",
+    )
+    pages = a.unionByName(b)
+    comp = pages.groupBy("text").agg(F.min("page_id").alias("component"))
+    labels = pages.join(comp, "text").select("url", "component")
+    return host_dup_stats(labels)
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The published Gopher quality gate (functions/gopher.py) over the
     same synthesized multi-line docs as ``repetition``: every doc gets a
@@ -811,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_canonical": q_pages_canonical,
         "warc_roundtrip": q_warc_roundtrip,
         "gopher_quality": q_gopher_quality,
+        "host_stats": q_host_stats,
         "union_dedup": q_union_dedup,
         "sa_dedup": q_sa_dedup,
     }
@@ -1538,6 +1568,38 @@ FROM comp JOIN pg USING (doc_id) JOIN canon ON canon.component = comp.component
 """
 )
 
+
+# host_stats: two synthetic crawls (five primary hosts + a mirror of every
+# third doc), exact-content min-id components, per-host duplication report.
+_ORACLES["host_stats"] = r"""
+WITH a AS (
+  SELECT doc_id AS page_id,
+         'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/p/'
+           || md5(CAST(doc_id AS VARCHAR)) AS url,
+         text
+  FROM documents
+), b AS (
+  SELECT doc_id + 1000000 AS page_id,
+         'https://mirror.example.net/p/' || md5(CAST(doc_id AS VARCHAR)) AS url,
+         text
+  FROM documents WHERE doc_id % 3 = 0
+), pages AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+comp AS (SELECT text, min(page_id) AS component FROM pages GROUP BY 1),
+lab AS (SELECT p.url, c.component FROM pages p JOIN comp c USING (text)),
+base AS (
+  SELECT lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2)) AS host,
+         component
+  FROM lab
+), ch AS (SELECT component, count(DISTINCT host) AS nh FROM base GROUP BY 1),
+t AS (SELECT b.host, b.component, ch.nh FROM base b JOIN ch USING (component))
+SELECT host,
+       count(*)::BIGINT AS n_pages,
+       count(DISTINCT component)::BIGINT AS n_clusters,
+       round((count(*) - count(DISTINCT component))::DOUBLE / count(*), 6) AS dup_frac,
+       sum(CASE WHEN nh > 1 THEN 1 ELSE 0 END)::BIGINT AS cross_host_pages,
+       round(sum(CASE WHEN nh > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS cross_host_frac
+FROM t GROUP BY host
+"""
 
 # gopher_quality: the same synthesized line/gram structure as `repetition`,
 # with all 19 published thresholds applied; reasons are sorted so the

@@ -136,6 +136,56 @@ def url_dedup(
     )
 
 
+def url_host(url) -> Column:
+    """Lowercased registered host of a URL (userinfo and port stripped);
+    empty string when there is no ``scheme://`` prefix."""
+    u = F.col(url) if isinstance(url, str) else url
+    hostport = F.lower(F.regexp_extract(u, _SCHEME_RE + "([^/?#]*)", 2))
+    bare = F.substring_index(hostport, "@", -1)  # drop user:pass@
+    return F.regexp_replace(bare, ":[0-9]*$", "")
+
+
+def host_dup_stats(
+    labels: DataFrame, url_col: str = "url", comp_col: str = "component"
+) -> DataFrame:
+    """Per-host duplication report over a labeled pages frame — the crawl
+    curation table every dedup run feeds back to the crawler (which hosts
+    are mostly mirrors, which clusters span hosts = syndication):
+
+      host              lowercased url host
+      n_pages           pages crawled from the host
+      n_clusters        distinct duplicate-clusters those pages land in
+      dup_frac          (n_pages - n_clusters) / n_pages — within-corpus
+                        redundancy of the host, 6dp
+      cross_host_pages  pages whose cluster spans >= 2 hosts
+      cross_host_frac   the fraction thereof, 6dp
+
+    Shape: one component-keyed aggregation (how many hosts per cluster —
+    partial aggs, no skew window), one join back, one host-keyed
+    aggregation.  A megahost (half the crawl from one domain) is a single
+    count/count-distinct key — two-phase partial aggregation, never a
+    collect.  Reference analogue: none (string_grouper has no URL notion);
+    this is the LLM-pipeline observability extension.
+    """
+    base = labels.select(
+        url_host(url_col).alias("host"), F.col(comp_col).alias("_c")
+    )
+    comp_hosts = base.groupBy("_c").agg(
+        F.countDistinct("host").alias("_nh")
+    )
+    tagged = base.join(comp_hosts, "_c")
+    n = F.count(F.lit(1))
+    nc = F.countDistinct("_c")
+    xh = F.sum((F.col("_nh") > 1).cast("long"))
+    return tagged.groupBy("host").agg(
+        n.alias("n_pages"),
+        nc.alias("n_clusters"),
+        F.round((n - nc) / n, 6).alias("dup_frac"),
+        xh.alias("cross_host_pages"),
+        F.round(xh / n, 6).alias("cross_host_frac"),
+    )
+
+
 def url_duplicate_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """(canonical_url, n_variants): how many raw URLs collapse into each
     canonical identity — the observability counter for URL-level dedup."""

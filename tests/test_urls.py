@@ -137,3 +137,60 @@ def test_url_dedup_on_synthetic_pages(spark):
     # canonicalization (no accidental key collisions)
     out = url_dedup(pages)
     assert out.count() == pages.select("url").distinct().count()
+
+
+def test_url_host(spark):
+    import pandas as pd
+    from string_grouper_spark.functions.urls import url_host
+
+    pdf = pd.DataFrame(
+        {
+            "url": [
+                "https://Example.ORG/path",
+                "http://example.org:80/x",
+                "https://user:pw@Host.Net:8443/p?q=1",
+                "ftp://files.example.com",
+                "no-scheme/path",
+                "https://example.org?query#frag",
+            ]
+        }
+    )
+    got = (
+        spark.createDataFrame(pdf)
+        .select(url_host("url").alias("h"))
+        .toPandas()["h"]
+        .tolist()
+    )
+    assert got == [
+        "example.org", "example.org", "host.net", "files.example.com",
+        "", "example.org",
+    ]
+
+
+def test_host_dup_stats(spark):
+    import pandas as pd
+    from string_grouper_spark.functions.urls import host_dup_stats
+
+    # host a: 3 pages, 2 clusters (one internal dup); cluster 1 spans a+b
+    pdf = pd.DataFrame(
+        {
+            "url": [
+                "https://a.com/1", "https://a.com/2", "https://a.com/3",
+                "https://b.com/1", "https://b.com/2",
+            ],
+            "component": [1, 1, 2, 1, 3],
+        }
+    )
+    got = (
+        host_dup_stats(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    a = got[got.host == "a.com"].iloc[0]
+    b = got[got.host == "b.com"].iloc[0]
+    assert (a.n_pages, a.n_clusters, a.dup_frac) == (3, 2, round(1 / 3, 6))
+    # component 1 spans both hosts -> pages of comp 1 count as cross-host
+    assert a.cross_host_pages == 2 and b.cross_host_pages == 1
+    assert b.n_pages == 2 and b.n_clusters == 2 and b.dup_frac == 0.0
+    assert b.cross_host_frac == 0.5

@@ -184,6 +184,16 @@ def _build_parser() -> argparse.ArgumentParser:
     im.add_argument("--max-hamming", type=int, default=6)
     im.add_argument("--num-blocks", type=int, default=8)
 
+    hs = sub.add_parser(
+        "host-stats",
+        help="per-host duplication/cross-host-syndication report over a "
+        "labeled clusters parquet (url, component)",
+    )
+    hs.add_argument("--input", required=True, help="labeled parquet")
+    hs.add_argument("--output", required=True)
+    hs.add_argument("--url-col", default="url")
+    hs.add_argument("--component-col", default="component")
+
     we = sub.add_parser(
         "warc-extract",
         help="Common-Crawl WARC shards -> pages parquet (url, warc_ts, html, "
@@ -344,6 +354,12 @@ def main(argv: Optional[list] = None) -> int:
         from .operators.dedup import exact_duplicate_groups
 
         out = exact_duplicate_groups(df, text_col=args.text_col, id_col=args.id_col)
+    elif args.command == "host-stats":
+        from .functions.urls import host_dup_stats
+
+        out = host_dup_stats(
+            df, url_col=args.url_col, comp_col=args.component_col
+        )
     elif args.command == "url-dedup":
         from .functions.urls import url_dedup
 

@@ -308,3 +308,54 @@ def test_cli_dedup_generators_union(spark, tmp_path):
                  "--min-similarity", "0.8", "--num-bands", "64"]) == 0
     plain = spark.read.parquet(out_p).toPandas().set_index("doc_id")["component"]
     assert plain.loc[0] != plain.loc[1]
+
+
+def test_cli_warc_roundtrip_and_union_checkpoint_string_ids(spark, tmp_path):
+    # the full webtext flow: pages parquet -> WARC shards -> extract ->
+    # three-generator checkpointed dedup keyed by the STRING url
+    from string_grouper_spark.sources.pages import generate_pages
+
+    src = f"{tmp_path}/pages"
+    generate_pages(spark, 40, dup_fraction=0.5).write.parquet(src)
+    shards = f"{tmp_path}/shards"
+    assert main(["warc-write", "--input", src, "--output", shards,
+                 "--num-files", "2"]) == 0
+    import glob
+
+    assert len(glob.glob(f"{shards}/part-*.warc.gz")) == 2
+    pages2 = f"{tmp_path}/pages2"
+    assert main(["warc-extract", "--input", shards, "--output", pages2]) == 0
+    back = spark.read.parquet(pages2)
+    assert back.count() == 40
+    assert set(back.columns) == {"url", "warc_ts", "html", "text", "lang"}
+
+    out = f"{tmp_path}/labels"
+    assert main(["dedup", "--input", pages2, "--output", out,
+                 "--text-col", "text", "--id-col", "url",
+                 "--generators", "minhash,simhash",
+                 "--checkpoint-root", f"{tmp_path}/ck",
+                 "--min-similarity", "0.8", "--num-bands", "32",
+                 "--max-bucket-size", "1000"]) == 0
+    lab = spark.read.parquet(out)
+    assert lab.count() == 40 and set(lab.columns) == {"url", "component"}
+    stages = set(
+        spark.read.json(f"{tmp_path}/ck/_metrics").toPandas()["stage"]
+    )
+    assert {"vectors", "cand_minhash", "cand_simhash", "labels"} <= stages
+
+
+def test_cli_host_stats(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "url": ["https://a.com/1", "https://a.com/2", "https://b.com/1"],
+            "component": [1, 1, 1],
+        }
+    )
+    src = f"{tmp_path}/lab"
+    spark.createDataFrame(pdf).write.parquet(src)
+    out = f"{tmp_path}/hosts"
+    assert main(["host-stats", "--input", src, "--output", out]) == 0
+    got = spark.read.parquet(out).toPandas().set_index("host")
+    assert got.loc["a.com", "n_pages"] == 2
+    assert got.loc["a.com", "cross_host_pages"] == 2
+    assert got.loc["b.com", "cross_host_frac"] == 1.0

@@ -225,6 +225,16 @@ def main() -> None:
     gdocs = docs.repartition(int(cpus)).persist()
     gdocs.count()
     timed("gopher", lambda: gopher_filter(gdocs).where(F.col("kept")).count())
+    # WHY docs drop (the synthetic vocabulary has no English stop words, so
+    # kept=0 here is the corpus, not the gate): reason histogram
+    counters["gopher_reasons"] = {
+        r["r"]: r["n"]
+        for r in gopher_filter(gdocs)
+        .select(F.explode("drop_reasons").alias("r"))
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     gdocs.unpersist()
 
     # ---- north-rule table shape: pages(url, warc_ts, html binary, lang) ----

@@ -202,6 +202,10 @@ def _build_parser() -> argparse.ArgumentParser:
     we.add_argument("--input", required=True, help="dir of *.warc[.gz] shards")
     we.add_argument("--output", required=True, help="output parquet path")
     we.add_argument("--glob", default="*.warc*")
+    we.add_argument("--extractor", choices=["wrapper", "generic"],
+                    default="wrapper",
+                    help="'generic' = real-crawl HTML text extraction "
+                    "(script/style removal, entity decode)")
 
     ww = sub.add_parser(
         "warc-write",
@@ -228,7 +232,9 @@ def main(argv: Optional[list] = None) -> int:
     if args.command == "warc-extract":
         from .sources.warc import warc_to_pages
 
-        out = warc_to_pages(spark, args.input, glob=args.glob)
+        out = warc_to_pages(
+            spark, args.input, glob=args.glob, extractor=args.extractor
+        )
         out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(json.dumps({"command": args.command, "output": args.output, "rows": n}))

@@ -369,18 +369,28 @@ def read_warc(
 
 
 def warc_to_pages(
-    spark: SparkSession, path: str, glob: str = "*.warc*"
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    extractor: str = "wrapper",
 ) -> DataFrame:
-    """WARC shards -> the input_hint ``pages`` shape with ``text`` extracted
-    (byte-exact per the pages wrapper; a real crawl would swap in a full
-    HTML extractor here — the column contract is the stable part)."""
-    from .pages import extract_text_expr
+    """WARC shards -> the input_hint ``pages`` shape with ``text`` extracted.
 
+    ``extractor='wrapper'`` (default) is the byte-exact inverse of this
+    repo's synthetic html wrapper — the oracle-gated invariant.
+    ``extractor='generic'`` is the real-crawl path: script/style removal,
+    block-tag newlines, entity decode, whitespace collapse
+    (``pages.extract_text_generic``, one vectorized Arrow UDF)."""
+    from .pages import extract_text_expr, extract_text_generic
+
+    if extractor not in ("wrapper", "generic"):
+        raise ValueError(f"unknown extractor {extractor!r}")
+    fn = extract_text_expr if extractor == "wrapper" else extract_text_generic
     raw = read_warc(spark, path, glob)
     return raw.select(
         "url",
         "warc_ts",
         "html",
-        extract_text_expr(F.col("html")).alias("text"),
+        fn(F.col("html")).alias("text"),
         "lang",
     )

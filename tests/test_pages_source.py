@@ -81,3 +81,66 @@ def test_distributed_generator_invariant(spark):
         F.expr("bit_xor(xxhash64(url, text))")
     ).first()[0]
     assert h1 == h2
+
+
+def test_extract_text_generic_real_html(spark):
+    # real-crawl-shaped html: scripts/styles dropped, block tags become
+    # newlines, entities decode, whitespace collapses
+    import pandas as pd
+
+    from string_grouper_spark.sources.pages import extract_text_generic
+
+    html = (
+        b"<!DOCTYPE html><html><head><title>My Page</title>"
+        b"<style>p { color: red }</style>"
+        b"<script>var x = '<p>not text</p>';</script></head>"
+        b"<body><!-- hidden comment --><h1>Header &amp; more</h1>"
+        b"<p>First   paragraph with <b>bold</b> text.</p>"
+        b"<div>Second\tblock &#8212; dash &lt;tag&gt;</div>"
+        b"<ul><li>one</li><li>two</li></ul>"
+        b"<noscript>enable js</noscript>"
+        b"</body></html>"
+    )
+    pdf = pd.DataFrame({"html": [html, None, b"plain no tags"]})
+    got = (
+        spark.createDataFrame(pdf)
+        .select(extract_text_generic(F.col("html")).alias("t"))
+        .toPandas()["t"]
+        .tolist()
+    )
+    assert got[0] == (
+        "My Page\nHeader & more\nFirst paragraph with bold text.\n"
+        "Second block — dash <tag>\none\ntwo"
+    )
+    assert got[1] is None
+    assert got[2] == "plain no tags"
+
+
+def test_extract_text_generic_on_wrapper_pages(spark):
+    # on the synthetic wrapper, the generic extractor reduces to the same
+    # text as the byte-exact inverse (single <p> block, no entities)
+    df = generate_pages(spark, 60)
+    from string_grouper_spark.sources.pages import extract_text_generic
+
+    bad = df.where(
+        extract_text_generic(F.col("html"))
+        != F.regexp_replace(F.regexp_replace(F.col("text"), r"[ \t]+", " "), r"\s+$|^\s+", "")
+    ).count()
+    assert bad == 0
+
+
+def test_extract_text_generic_feeds_dedup(spark):
+    # generic extraction output is stable input for the flagship
+    from string_grouper_spark.config import MatchConfig
+    from string_grouper_spark.plans.fast_dedup import fast_lsh_dedup
+    from string_grouper_spark.sources.pages import extract_text_generic
+
+    pages = generate_pages(spark, 80, dup_fraction=0.5)
+    docs = pages.select(
+        "page_id", extract_text_generic(F.col("html")).alias("text")
+    ).withColumnRenamed("page_id", "doc_id")
+    out = fast_lsh_dedup(
+        docs, MatchConfig(min_similarity=0.8), num_perm=128, num_bands=32,
+        max_bucket_size=None,
+    )
+    assert out.count() == 80

@@ -175,3 +175,28 @@ def test_end_to_end_dedup_over_warc_shards(spark, tmp_path):
     )
     bad = span.where(F.col("tight") & (F.col("n") > 1) & (F.col("n_comp") > 1)).count()
     assert bad == 0
+
+
+def test_warc_to_pages_generic_extractor(spark, tmp_path):
+    # real-crawl html (scripts, entities) through the shards + the generic
+    # extractor: text is the visible content, not the markup
+    import datetime as dt
+
+    html = (
+        b"<html><head><script>skip()</script></head>"
+        b"<body><p>Hello &amp; goodbye</p><div>line two</div></body></html>"
+    )
+    rec = W.serialize_response_record(
+        "https://example.org/g", dt.datetime(2024, 1, 1), html, "en"
+    )
+    d = tmp_path / "gen"
+    os.makedirs(d)
+    (d / "g.warc.gz").write_bytes(
+        W._gzip_member(W.serialize_warcinfo("g.warc.gz")) + W._gzip_member(rec)
+    )
+    out = W.warc_to_pages(spark, str(d), extractor="generic").toPandas()
+    assert out["text"][0] == "Hello & goodbye\nline two"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        W.warc_to_pages(spark, str(d), extractor="nope")

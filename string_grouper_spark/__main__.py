@@ -184,6 +184,33 @@ def _build_parser() -> argparse.ArgumentParser:
     im.add_argument("--max-hamming", type=int, default=6)
     im.add_argument("--num-blocks", type=int, default=8)
 
+    cu = sub.add_parser(
+        "curate",
+        help="full webtext curation: [warc->] pages -> url dedup -> quality "
+        "gate -> near-dup clustering -> canonical election -> host report",
+    )
+    cu.add_argument("--input", required=True,
+                    help="pages parquet path, or a WARC shard dir with "
+                    "--input-format warc")
+    cu.add_argument("--output-dir", required=True,
+                    help="writes curated/ clusters/ dropped/ host_stats/")
+    cu.add_argument("--input-format", choices=["parquet", "warc"],
+                    default="parquet")
+    cu.add_argument("--extractor", choices=["wrapper", "generic"],
+                    default="wrapper")
+    cu.add_argument("--generators", default="minhash")
+    cu.add_argument("--min-similarity", type=float, default=0.8)
+    cu.add_argument("--num-perm", type=int, default=128)
+    cu.add_argument("--num-bands", type=int, default=16)
+    cu.add_argument("--max-bucket-size", type=int, default=1000)
+    cu.add_argument("--anchor-len", type=int, default=16)
+    cu.add_argument("--shingle", choices=["char", "word"], default="char")
+    cu.add_argument("--no-quality-filter", action="store_true")
+    cu.add_argument("--gopher-thresholds", default=None,
+                    help="JSON dict of threshold overrides, e.g. "
+                    '\'{"min_stop_words": 0}\'')
+    cu.add_argument("--checkpoint-root", default=None)
+
     hs = sub.add_parser(
         "host-stats",
         help="per-host duplication/cross-host-syndication report over a "
@@ -238,6 +265,34 @@ def main(argv: Optional[list] = None) -> int:
         out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(json.dumps({"command": args.command, "output": args.output, "rows": n}))
+        return 0
+    if args.command == "curate":
+        from .config import MatchConfig as _MC
+        from .plans.curate import curate_pages
+        from .sources.warc import warc_to_pages
+
+        if args.input_format == "warc":
+            pages_df = warc_to_pages(spark, args.input, extractor=args.extractor)
+        else:
+            pages_df = spark.read.parquet(args.input)
+        th = json.loads(args.gopher_thresholds) if args.gopher_thresholds else None
+        res = curate_pages(
+            spark, pages_df,
+            cfg=_MC(min_similarity=args.min_similarity, max_n_matches=1_000_000),
+            generators=tuple(
+                g.strip() for g in args.generators.split(",") if g.strip()
+            ),
+            quality_filter=not args.no_quality_filter,
+            gopher_thresholds=th, checkpoint_root=args.checkpoint_root,
+            num_perm=args.num_perm, num_bands=args.num_bands,
+            max_bucket_size=args.max_bucket_size, anchor_len=args.anchor_len,
+            shingle=args.shingle,
+        )
+        for name in ("curated", "clusters", "dropped", "host_stats"):
+            res[name].write.mode("overwrite").parquet(
+                f"{args.output_dir}/{name}"
+            )
+        print(json.dumps({"command": "curate", **res["counters"]}))
         return 0
     df = spark.read.parquet(args.input)
     if args.command == "warc-write":

@@ -736,6 +736,69 @@ def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_dup_stats(labels)
 
 
+_CURATE_GOPHER_OFF = {
+    # reduce the gate to PURE word_count so the composition oracle stays
+    # tractable: every other screen's threshold is set past its value range
+    # (fracs are <= 1.0, '>' never fires; mins at 0 always pass).  The full
+    # 19-threshold gate is oracle-gated standalone as `gopher_quality`.
+    "min_words": 40, "max_words": 10**9,
+    "min_mean_word_length": 0.0, "max_mean_word_length": 1e9,
+    "max_symbol_ratio": 1e9, "max_bullet_line_frac": 1.0,
+    "max_ellipsis_line_frac": 1.0, "min_alpha_word_frac": 0.0,
+    "min_stop_words": 0, "max_dup_line_frac": 1.0,
+    "max_dup_line_char_frac": 1.0, "max_top_2gram_char_frac": 1.0,
+    "max_top_3gram_char_frac": 1.0, "max_top_4gram_char_frac": 1.0,
+    "max_dup_5gram_char_frac": 1.0, "max_dup_6gram_char_frac": 1.0,
+    "max_dup_7gram_char_frac": 1.0, "max_dup_8gram_char_frac": 1.0,
+    "max_dup_9gram_char_frac": 1.0, "max_dup_10gram_char_frac": 1.0,
+}
+
+
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation COMPOSITION oracle-gated end to end: pages (+ a
+    second utm-tagged crawl of every fifth doc, arriving later) -> url
+    dedup (the utm crawls must lose to the primaries) -> word-count gate
+    (>= 40 words; the other 18 thresholds are disabled — each is gated
+    standalone by `gopher_quality`) -> recall-1 MinHash clustering keyed
+    by the STRING url (run_with_long_ids path) -> earliest-warc_ts
+    canonical per cluster.  The oracle replays every stage in SQL,
+    INCLUDING the corpus-dependence subtlety: the TF-IDF vocabulary/IDF
+    are fit on the quality SURVIVORS, not all documents."""
+    from string_grouper_spark.plans.curate import curate_pages
+    from string_grouper_spark.sources.pages import extract_text_expr
+
+    base = _pages_from_docs(spark, sf_dir)
+    pages = base.select(
+        "url", "warc_ts", "html",
+        extract_text_expr(F.col("html")).alias("text"), "lang",
+    )
+    utm = base.where(F.col("doc_id") % 5 == 0).select(
+        F.concat(F.col("url"), F.lit("?utm_source=x")).alias("url"),
+        (F.col("warc_ts") + F.make_interval(secs=F.lit(200000))).alias("warc_ts"),
+        "html",
+        extract_text_expr(F.col("html")).alias("text"),
+        "lang",
+    )
+    res = curate_pages(
+        spark, pages.unionByName(utm), cfg=_cfg(0.5),
+        generators=("minhash",), gopher_thresholds=_CURATE_GOPHER_OFF,
+        num_perm=128, num_bands=64, max_bucket_size=None, salt_above=None,
+    )
+    # gate the FULL labeling, not just the winners: a url-dedup leak (an
+    # utm row surviving) changes the row set; a wrong canonical flips
+    # is_canonical; a clustering difference changes component values
+    winners = res["curated"].select(F.col("url").alias("_wu"))
+    return (
+        res["clusters"]
+        .join(winners, res["clusters"]["url"] == F.col("_wu"), "left")
+        .select(
+            "url",
+            "component",
+            F.col("_wu").isNotNull().cast("int").alias("is_canonical"),
+        )
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The published Gopher quality gate (functions/gopher.py) over the
     same synthesized multi-line docs as ``repetition``: every doc gets a
@@ -841,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "gopher_quality": q_gopher_quality,
         "host_stats": q_host_stats,
+        "curate": q_curate,
         "union_dedup": q_union_dedup,
         "sa_dedup": q_sa_dedup,
     }
@@ -1568,6 +1632,45 @@ FROM comp JOIN pg USING (doc_id) JOIN canon ON canon.component = comp.component
 """
 )
 
+
+# curate: the end-to-end composition — url dedup (utm second crawls lose),
+# word-count gate, TF-IDF fit on the SURVIVORS (corpus dependence!), the
+# exact closure, min-url component labels, earliest-crawl canonical flags.
+_CURATE_SURVIVOR_PRELUDE = _TFIDF_PRELUDE.replace(
+    "  FROM documents\n),",
+    "  FROM documents\n"
+    r"  WHERE len(list_filter(regexp_split_to_array(text, '\s+'),"
+    " w -> w <> '')) >= 40\n),",
+    1,
+)
+assert "WHERE len(list_filter" in _CURATE_SURVIVOR_PRELUDE
+
+_ORACLES["curate"] = (
+    _CURATE_SURVIVOR_PRELUDE
+    + _COMPONENTS_CTES
+    + r"""
+, pg AS (
+  SELECT d.doc_id,
+         concat('https://example.org/', md5(CAST(d.doc_id AS VARCHAR))) AS url,
+         (d.doc_id * 7919) % 104729 AS ord
+  FROM docs d
+), compu AS (
+  SELECT comp.component AS cid, min(pg.url) AS comp_url
+  FROM comp JOIN pg USING (doc_id) GROUP BY 1
+), winner AS (
+  SELECT comp.component AS cid, arg_min(pg.doc_id, pg.ord) AS win_id
+  FROM comp JOIN pg USING (doc_id) GROUP BY 1
+)
+SELECT pg.url AS url,
+       compu.comp_url AS component,
+       (CASE WHEN pg.doc_id = winner.win_id THEN 1 ELSE 0 END)::INT
+         AS is_canonical
+FROM comp
+JOIN pg USING (doc_id)
+JOIN compu ON compu.cid = comp.component
+JOIN winner ON winner.cid = comp.component
+"""
+)
 
 # host_stats: two synthetic crawls (five primary hosts + a mirror of every
 # third doc), exact-content min-id components, per-host duplication report.

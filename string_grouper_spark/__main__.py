@@ -292,6 +292,7 @@ def main(argv: Optional[list] = None) -> int:
             res[name].write.mode("overwrite").parquet(
                 f"{args.output_dir}/{name}"
             )
+        res["unpersist"]()
         print(json.dumps({"command": "curate", **res["counters"]}))
         return 0
     df = spark.read.parquet(args.input)
@@ -302,6 +303,9 @@ def main(argv: Optional[list] = None) -> int:
             df, args.output, num_files=args.num_files,
             compress=not args.no_compress, url_col=args.url_col,
             ts_col=args.ts_col, html_col=args.html_col,
+            # the CLI's other sinks are DataFrameWriter mode("overwrite");
+            # the WARC sink matches so re-running a job replaces shards
+            mode="overwrite",
         )
         print(json.dumps({
             "command": args.command, "output": args.output,

@@ -464,11 +464,13 @@ def checkpointed_union_dedup_pipeline(
         spark, root, run_config={"cfg": cfg, **knobs},
         input_fp=input_fingerprint(docs, [id_col, text_col]), io=io,
     )
-    n_docs = docs.count()
     cos_gens = [g for g in generators if g in ("minhash", "simhash")]
     edge_fps, edge_tables = [], []
 
     if cos_gens:
+        # only the cosine vectorizer needs the corpus count (IDF N); a
+        # substring/suffix-only run must not pay a full scan for it
+        n_docs = docs.count()
         cache = {}
 
         def build_vecs():

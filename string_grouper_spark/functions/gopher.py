@@ -82,6 +82,13 @@ def gopher_filter(
     from .text_stats import repetition_stats
 
     th = dict(GOPHER_THRESHOLDS)
+    unknown = sorted(set(thresholds or {}) - set(th))
+    if unknown:
+        raise ValueError(
+            f"unknown gopher threshold key(s) {unknown}; valid keys: "
+            f"{sorted(th)} — a misspelled override would otherwise be "
+            "silently ignored and the published default would apply"
+        )
     th.update(thresholds or {})
 
     # The seven scalar screens run in ONE vectorized Arrow pass.  They were

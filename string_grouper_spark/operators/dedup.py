@@ -36,7 +36,10 @@ def run_with_long_ids(docs: DataFrame, id_col: str, run):
     Collisions are CHECKED (one count-distinct pass) and raise instead of
     silently merging two documents: at 10^12 ids the expected number of
     xxhash64 collisions is ~0.03, so the check is a guard rail, not a
-    likely exit.  ``run(docs2, id_col2) -> (<id_col2>, component)`` is the
+    likely exit.  NULL ids also raise: ``xxhash64(NULL)`` returns the seed
+    for EVERY null row (they would all silently merge into one document),
+    and ``countDistinct`` skips nulls, so the collision guard alone cannot
+    see them.  ``run(docs2, id_col2) -> (<id_col2>, component)`` is the
     wrapped pipeline.
     """
     dtype = dict(docs.dtypes)[id_col]
@@ -47,7 +50,14 @@ def run_with_long_ids(docs: DataFrame, id_col: str, run):
     stats = mapped.agg(
         F.countDistinct(id_col).alias("n_ids"),
         F.countDistinct(LID).alias("n_lids"),
+        F.count(F.when(F.col(id_col).isNull(), F.lit(1))).alias("n_null"),
     ).first()
+    if stats["n_null"] > 0:
+        raise ValueError(
+            f"id column {id_col!r} has {stats['n_null']} NULL value(s); "
+            "xxhash64 maps every NULL to the same hash so null-id documents "
+            "would silently merge — drop or fill null ids first"
+        )
     if stats["n_lids"] < stats["n_ids"]:
         raise ValueError(
             f"xxhash64 collision while mapping non-integral id column "

@@ -72,14 +72,21 @@ def curate_pages(
     # wins (url_dedup — null-ts sentinel + min_by hardening live there)
     uniq = url_dedup(pages).drop("canonical_url").persist()
     counters["n_after_url_dedup"] = uniq.count()
+    # row-level accounting keys on (url, warc_ts), not url alone: the same
+    # URL crawled twice (identical url, different warc_ts) is the ROUTINE
+    # re-crawl case, and a url-only anti-join would hide the losing row.
+    # Rows byte-identical to the winner in BOTH keys are indistinguishable;
+    # they are covered by the arithmetic counter below, never silently.
     url_dropped = (
-        pages.join(uniq.select(F.col("url").alias("_kept_url")),
-                   pages["url"] == F.col("_kept_url"), "left_anti")
+        pages.join(uniq.select("url", "warc_ts"), ["url", "warc_ts"], "left_anti")
         .select(
             "url",
             F.lit("url_dedup").alias("stage"),
             F.lit("non-earliest crawl of its canonical url").alias("reasons"),
         )
+    )
+    counters["n_dropped_url_dedup"] = (
+        counters["n_input"] - counters["n_after_url_dedup"]
     )
 
     # -- 2. quality gate (auditable: reasons ride along)
@@ -127,10 +134,21 @@ def curate_pages(
     labels = labels.persist()
     counters["n_clusters"] = labels.select("component").distinct().count()
 
-    # -- 4. canonical page per cluster: earliest warc_ts (ties: min url)
+    # -- 4. canonical page per cluster: earliest warc_ts (ties: min url).
+    # Same null-ts hardening as url_dedup: struct comparison sorts NULL
+    # first, so without the far-future sentinel a page whose WARC-Date
+    # failed to parse would beat every real earliest crawl.
     joined = labels.join(kept, "url")
     canon = joined.groupBy("component").agg(
-        F.min(F.struct("warc_ts", "url")).alias("_c")
+        F.min(
+            F.struct(
+                F.coalesce(
+                    F.col("warc_ts"),
+                    F.lit("9999-12-31 23:59:59").cast("timestamp"),
+                ).alias("warc_ts"),
+                F.col("url"),
+            )
+        ).alias("_c")
     )
     curated = (
         joined.join(canon, "component")
@@ -142,10 +160,22 @@ def curate_pages(
     # -- 5. host report over the full labeling
     hosts = host_dup_stats(labels.select("url", "component"))
 
+    # the returned DataFrames still read the caches, so they are NOT
+    # unpersisted here; callers that are done consuming the outputs call
+    # ``result["unpersist"]()`` to release executor storage (the CLI does,
+    # after writing).  A long-lived driver looping over curate_pages would
+    # otherwise accumulate cached blocks for the session lifetime.
+    cached = [uniq, kept, labels] + ([gated] if quality_filter else [])
+
+    def _unpersist():
+        for d in cached:
+            d.unpersist()
+
     return {
         "curated": curated,
         "clusters": labels.select("url", "component"),
         "dropped": url_dropped.unionByName(quality_dropped),
         "host_stats": hosts,
         "counters": counters,
+        "unpersist": _unpersist,
     }

@@ -154,6 +154,7 @@ def write_warc(
     ts_col: str = "warc_ts",
     html_col: str = "html",
     lang_col: Optional[str] = "lang",
+    mode: str = "error",
 ):
     """Write ``df`` as WARC shards under ``path``; returns the manifest as a
     pandas frame (file, n_records, n_bytes, partition_id) — the sink's
@@ -161,6 +162,22 @@ def write_warc(
 
     ``num_files`` repartitions first (shard size = parallelism at read
     time); default keeps the input partitioning (narrow write).
+
+    Sink protocol (mirrors DataFrameWriter semantics the rest of the repo
+    relies on):
+
+      * ``mode='error'`` (default) refuses a directory that already holds
+        shards; ``mode='overwrite'`` removes them first.  Without this, a
+        second write with fewer partitions would leave the first run's
+        higher-numbered ``part-*`` files in place and ``read_warc`` would
+        silently return the UNION of both runs.
+      * each task writes ``part-NNNNN.inprogress`` then ``os.replace``\\ s
+        it into the final name — a retried/speculative attempt can never
+        interleave bytes into a shard a reader might open.
+      * NULL url/warc_ts/html raise a ``ValueError`` naming the column
+        (``read_warc`` itself can produce null ``warc_ts`` for exotic
+        WARC-Date formats; failing loud here beats an opaque ``strftime``
+        AttributeError deep inside a task).
     """
     import pandas as pd
 
@@ -175,6 +192,22 @@ def write_warc(
         slim = slim.repartition(num_files)
     os.makedirs(path, exist_ok=True)
     ext = ".warc.gz" if compress else ".warc"
+    stale = [
+        f for f in os.listdir(path)
+        if f.startswith("part-") or f.endswith(".inprogress")
+    ]
+    if stale:
+        if mode == "overwrite":
+            for f in stale:
+                os.remove(os.path.join(path, f))
+        elif mode == "error":
+            raise ValueError(
+                f"WARC sink {path!r} already holds {len(stale)} shard file(s); "
+                "pass mode='overwrite' to replace them (stale part-* files "
+                "from a previous run would otherwise be read back as data)"
+            )
+        else:
+            raise ValueError(f"unknown write_warc mode {mode!r}")
 
     def _write(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         from pyspark import TaskContext
@@ -182,22 +215,32 @@ def write_warc(
         pid = TaskContext.get().partitionId()
         fname = f"part-{pid:05d}{ext}"
         full = os.path.join(path, fname)
+        tmp = full + ".inprogress"
         n = 0
         info = serialize_warcinfo(fname)
-        with open(full, "wb") as fh:
+        with open(tmp, "wb") as fh:
             fh.write(_gzip_member(info) if compress else info)
             for pdf in batches:
-                for row in pdf.itertuples(index=False):
-                    url = getattr(row, url_col)
-                    ts = getattr(row, ts_col)
+                for req in (url_col, ts_col, html_col):
+                    if pdf[req].isna().any():
+                        raise ValueError(
+                            f"write_warc: column {req!r} contains NULLs; "
+                            "WARC response records need url, warc_ts and "
+                            "html — filter or fill them first"
+                        )
+                urls = pdf[url_col].tolist()
+                tss = pdf[ts_col].tolist()
+                htmls = pdf[html_col].tolist()
+                langs = pdf[lang_col].tolist() if has_lang else [None] * len(urls)
+                for url, ts, html, lang in zip(urls, tss, htmls, langs):
                     if hasattr(ts, "to_pydatetime"):
                         ts = ts.to_pydatetime()
-                    html = bytes(getattr(row, html_col))
-                    lang = getattr(row, lang_col) if has_lang else None
-                    rec = serialize_response_record(url, ts, html, lang)
+                    rec = serialize_response_record(url, ts, bytes(html), lang)
                     fh.write(_gzip_member(rec) if compress else rec)
                     n += 1
             nbytes = fh.tell()
+        # atomic publish: a concurrent retry replaces, never interleaves
+        os.replace(tmp, full)
         yield pd.DataFrame(
             [{"file": full, "n_records": n, "n_bytes": nbytes, "partition_id": pid}]
         )

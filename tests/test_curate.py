@@ -56,6 +56,7 @@ def test_curate_pages_flow(spark):
     assert c == {
         "n_input": 5,
         "n_after_url_dedup": 4,
+        "n_dropped_url_dedup": 1,
         "n_after_quality": 3,
         "n_clusters": 2,
         "n_curated": 2,
@@ -96,3 +97,56 @@ def test_curate_cli_from_warc(spark, tmp_path):
     # the clustering stage checkpointed (resumable)
     stages = set(spark.read.json(f"{tmp_path}/ck/_metrics").toPandas()["stage"])
     assert "labels" in stages
+
+
+def test_null_ts_page_never_elected_canonical(spark):
+    """Struct-min comparison sorts NULL first; the far-future sentinel must
+    keep a page whose WARC-Date failed to parse from beating every real
+    earliest crawl in its cluster."""
+    t1 = _clean_text()
+    pdf = pd.DataFrame(
+        {
+            "url": ["https://a.com/real", "https://b.com/nullts"],
+            "warc_ts": [dt.datetime(2024, 1, 2), None],
+            "html": [wrap_html(t1), wrap_html(t1.upper())],
+            "text": [t1, t1.upper()],
+            "lang": ["en", "en"],
+        }
+    )
+    pages = spark.createDataFrame(pdf)
+    res = curate_pages(
+        spark, pages, generators=("minhash",), num_bands=32,
+        max_bucket_size=None,
+    )
+    curated = res["curated"].toPandas()
+    assert res["counters"]["n_clusters"] == 1
+    assert list(curated["url"]) == ["https://a.com/real"]
+    res["unpersist"]()
+
+
+def test_recrawl_same_url_is_accounted_in_dropped(spark):
+    """Two crawls with the IDENTICAL url (routine re-crawl): the losing row
+    must appear in `dropped` — a url-only anti-join would hide it."""
+    t1 = _clean_text()
+    pdf = pd.DataFrame(
+        {
+            "url": ["https://a.com/p", "https://a.com/p"],
+            "warc_ts": [dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)],
+            "html": [wrap_html(t1)] * 2,
+            "text": [t1] * 2,
+            "lang": ["en"] * 2,
+        }
+    )
+    res = curate_pages(
+        spark, spark.createDataFrame(pdf), generators=("minhash",),
+        num_bands=32, max_bucket_size=None,
+    )
+    dropped = res["dropped"].toPandas()
+    assert res["counters"]["n_dropped_url_dedup"] == 1
+    assert len(dropped) == 1
+    assert dropped.iloc[0]["url"] == "https://a.com/p"
+    assert dropped.iloc[0]["stage"] == "url_dedup"
+    # the kept crawl is the earliest
+    kept_ts = res["curated"].toPandas()["warc_ts"]
+    assert list(kept_ts) == [dt.datetime(2024, 1, 1)]
+    res["unpersist"]()

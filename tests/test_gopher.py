@@ -84,3 +84,13 @@ def test_defaults_are_published_values(spark):
     assert GOPHER_THRESHOLDS["min_words"] == 50
     assert GOPHER_THRESHOLDS["max_dup_line_frac"] == 0.30
     assert GOPHER_THRESHOLDS["max_dup_10gram_char_frac"] == 0.10
+
+
+def test_unknown_threshold_key_raises(spark):
+    import pytest
+
+    with pytest.raises(ValueError) as ei:
+        gopher_filter(
+            _docs(spark, [_clean_text()]), thresholds={"min_word": 10}
+        )
+    assert "min_word" in str(ei.value)

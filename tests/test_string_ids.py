@@ -109,3 +109,16 @@ def test_integral_ids_pass_through_untouched(spark):
     run_with_long_ids(df, "doc_id", run)
     assert seen["id_col"] == "doc_id"
     assert "_sg_lid" not in seen["cols"]
+
+
+def test_null_string_ids_raise(spark):
+    """xxhash64(NULL) is the seed for every null row — without the guard,
+    all null-id docs would silently merge into one document."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": ["a", None, None], "text": ["x", "y", "z"]})
+    )
+    with pytest.raises(ValueError) as ei:
+        run_with_long_ids(
+            df, "url", lambda d, lid: d.select(F.col(lid), F.lit(1).alias("component"))
+        )
+    assert "NULL" in str(ei.value) and "url" in str(ei.value)

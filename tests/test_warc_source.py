@@ -200,3 +200,39 @@ def test_warc_to_pages_generic_extractor(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         W.warc_to_pages(spark, str(d), extractor="nope")
+
+
+def test_sink_refuses_stale_shards_and_overwrite_clears_them(spark, tmp_path):
+    """Sink protocol: a second write into a shard directory must not leave
+    the first run's higher-numbered part files readable as data."""
+    pages = generate_pages(spark, 40)
+    out = str(tmp_path / "sink")
+    W.write_warc(pages, out, num_files=4)
+    with pytest.raises(ValueError) as ei:
+        W.write_warc(pages, out, num_files=2)
+    assert "mode='overwrite'" in str(ei.value)
+    m = W.write_warc(pages.limit(10), out, num_files=2, mode="overwrite")
+    assert len(m) == 2
+    # read back: ONLY the second run's records (no union with run 1)
+    assert W.read_warc(spark, out).count() == 10
+    # no in-progress temp files left behind
+    assert not [f for f in os.listdir(out) if f.endswith(".inprogress")]
+
+
+def test_sink_null_column_raises_named_error(spark, tmp_path):
+    pages = generate_pages(spark, 5).withColumn(
+        "warc_ts", F.lit(None).cast("timestamp")
+    )
+    with pytest.raises(Exception) as ei:
+        W.write_warc(pages, str(tmp_path / "n"), num_files=1)
+    assert "warc_ts" in str(ei.value) and "NULL" in str(ei.value)
+
+
+def test_sink_handles_non_identifier_column_names(spark, tmp_path):
+    """Column access must be by name (pdf[col]), not itertuples attributes —
+    itertuples positionally renames names like 'page-url'."""
+    pages = generate_pages(spark, 8).withColumnRenamed("url", "page-url")
+    out = str(tmp_path / "dash")
+    m = W.write_warc(pages, out, num_files=1, url_col="page-url")
+    assert m["n_records"].sum() == 8
+    assert W.read_warc(spark, out).count() == 8

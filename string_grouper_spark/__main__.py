@@ -246,6 +246,16 @@ def _build_parser() -> argparse.ArgumentParser:
     ww.add_argument("--url-col", default="url")
     ww.add_argument("--ts-col", default="warc_ts")
     ww.add_argument("--html-col", default="html")
+
+    mpb = sub.add_parser(
+        "media-probe",
+        help="container metadata for every media payload WITHOUT decoding "
+        "(MP4/MOV, MKV/WebM, AVI, WAV; malformed rows land in `err`)",
+    )
+    mpb.add_argument("--input", required=True, help="media parquet path")
+    mpb.add_argument("--output", required=True)
+    mpb.add_argument("--id-col", default="media_id")
+    mpb.add_argument("--payload-col", default="payload")
     return p
 
 
@@ -469,6 +479,10 @@ def main(argv: Optional[list] = None) -> int:
             num_blocks=args.num_blocks, id_col=args.id_col,
             payload_col=args.payload_col,
         )
+    elif args.command == "media-probe":
+        from .operators.multimodal import media_metadata
+
+        out = media_metadata(df, id_col=args.id_col, payload_col=args.payload_col)
     else:  # pragma: no cover
         raise SystemExit(2)
 

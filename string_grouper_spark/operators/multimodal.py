@@ -7,9 +7,12 @@ for every format the standard library + numpy can express
 JPEG images (``functions.jpeg``), PCM WAV audio, and MJPEG-AVI video all
 decode for real — ``decode_image``/``decode_audio`` sniff the payload's
 magic bytes and dispatch, and the featurizer's video branch walks RIFF.
-Only arithmetic-coded/lossless JPEG and non-AVI video containers
-(MP4/MKV/WebM) still raise ``NotImplementedError``; ``fake=True`` keeps
-the deterministic stub for pipeline-shape tests.
+MP4/MOV and MKV/WebM get CONTAINER-level treatment (``media_metadata`` /
+``functions.containers``): codec, dimensions, duration and track layout
+parse without decoding, so the 100 TB selection pass runs in-sandbox;
+only their FRAME decode (H.26x/VP9/AV1 entropy machinery) and
+arithmetic-coded/lossless JPEG still raise ``NotImplementedError``.
+``fake=True`` keeps the deterministic stub for pipeline-shape tests.
 
 At 100 TB the pattern matters more than the codec: binary payloads ride in
 their own column so Parquet column pruning keeps them unread unless a stage
@@ -20,6 +23,7 @@ task never holds more than ``maxRecordsPerBatch`` frames in memory.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator, Optional
 
 import numpy as np
@@ -129,9 +133,10 @@ def extract_features(
                             arr = vid[::step][:4]  # deterministic frame sample
                         else:
                             raise NotImplementedError(
-                                "non-AVI video containers (MP4/MKV/WebM) "
-                                "require external codecs; pass fake=True for "
-                                "the pipeline-shape stub"
+                                "frame decode for non-AVI video containers "
+                                "(MP4/MKV/WebM) requires external codecs; "
+                                "media_metadata probes them without decoding, "
+                                "or pass fake=True for the pipeline-shape stub"
                             )
                     else:
                         n = int(row.n_frames or 4)
@@ -275,3 +280,79 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.avg(F.coalesce("width", F.lit(0))).alias("avg_width"),
         F.avg(F.coalesce("n_frames", F.lit(0))).alias("avg_frames"),
     )
+
+
+METADATA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("container", StringType(), True),
+        StructField("brand", StringType(), True),
+        StructField("duration_s", FloatType(), True),
+        StructField("n_tracks", IntegerType(), True),
+        StructField("video_codec", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("audio_codec", StringType(), True),
+        StructField("sample_rate", FloatType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("err", StringType(), True),
+    ]
+)
+
+
+def media_metadata(media: DataFrame, id_col: str = "media_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """Container-level metadata for every payload WITHOUT decoding a frame
+    (``functions.containers.probe_media``: MP4/MOV box walk, MKV/WebM EBML
+    walk, AVI/WAV RIFF walk).
+
+    This is the 100 TB selection pass — "which payloads are >10 s 1080p?"
+    — that must run before any real decode: a narrow ``mapInPandas`` over
+    (id, payload), one probe per row, slim typed rows out.  Unrecognized
+    or malformed containers land in ``err`` instead of failing the scan
+    (at crawl scale malformed media is data, not an exception)."""
+    from ..functions.containers import probe_media
+
+    slim = media.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = (
+                    payload.encode() if isinstance(payload, str) else bytes(payload)
+                )
+                row = {
+                    "media_id": mid, "container": None, "brand": None,
+                    "duration_s": None, "n_tracks": None, "video_codec": None,
+                    "width": None, "height": None, "audio_codec": None,
+                    "sample_rate": None, "channels": None, "err": None,
+                }
+                try:
+                    info = probe_media(payload)
+                    row.update(
+                        container=info["container"], brand=info["brand"],
+                        duration_s=info["duration_s"],
+                        n_tracks=len(info["tracks"]),
+                    )
+                    vids = [t for t in info["tracks"] if t["kind"] == "video"]
+                    auds = [t for t in info["tracks"] if t["kind"] == "audio"]
+                    if vids:
+                        row.update(
+                            video_codec=vids[0]["codec"], width=vids[0]["width"],
+                            height=vids[0]["height"],
+                        )
+                    if auds:
+                        row.update(
+                            audio_codec=auds[0]["codec"],
+                            sample_rate=auds[0]["sample_rate"],
+                            channels=auds[0]["channels"],
+                        )
+                except (ValueError, struct.error) as exc:
+                    row["err"] = str(exc)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in METADATA_SCHEMA])
+
+    return slim.mapInPandas(run, METADATA_SCHEMA)

@@ -359,3 +359,18 @@ def test_cli_host_stats(spark, tmp_path):
     assert got.loc["a.com", "n_pages"] == 2
     assert got.loc["a.com", "cross_host_pages"] == 2
     assert got.loc["b.com", "cross_host_frac"] == 1.0
+
+
+def test_cli_media_probe(spark, tmp_path):
+    from tests.test_containers import make_mkv, make_mp4
+
+    pdf = pd.DataFrame(
+        {"media_id": [0, 1, 2], "payload": [make_mp4(), make_mkv(), b"junk"]}
+    )
+    src = f"{tmp_path}/media"
+    spark.createDataFrame(pdf).write.parquet(src)
+    out = f"{tmp_path}/meta"
+    assert main(["media-probe", "--input", src, "--output", out]) == 0
+    got = spark.read.parquet(out).toPandas().set_index("media_id").sort_index()
+    assert list(got["container"])[:2] == ["mp4", "webm"]
+    assert got.loc[2, "err"] is not None

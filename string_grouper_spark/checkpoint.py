@@ -559,9 +559,13 @@ def checkpointed_union_dedup_pipeline(
         edge_tables.append(
             ck.stage(
                 "edges_suffix",
+                # truncate=anchor_len: edges feed connectivity only —
+                # min_len-gram equality is lossless for components (see
+                # suffix_array_dedup); a pre-change checkpoint resumes
+                # with its own (equally valid) edge set
                 lambda: suffix_array_spans(
-                    docs, cfg, min_len=anchor_len, text_col=text_col,
-                    id_col=id_col,
+                    docs, cfg, min_len=anchor_len, truncate=anchor_len,
+                    text_col=text_col, id_col=id_col,
                 ).select(F.col("left").alias("u"), F.col("right").alias("v")),
             )
         )

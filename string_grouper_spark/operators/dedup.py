@@ -315,8 +315,12 @@ def near_duplicate_clusters_scale(
         if "suffix" in generators:
             from .suffix_array import suffix_array_spans
 
+            # truncate=anchor_len: the spans feed connectivity only, and
+            # min_len-gram equality is lossless for components (see
+            # suffix_array_dedup) — 3x less suffix-table shuffle
             spans = suffix_array_spans(
-                docs, cfg, min_len=anchor_len, text_col=text_col, id_col=id_col
+                docs, cfg, min_len=anchor_len, truncate=anchor_len,
+                text_col=text_col, id_col=id_col,
             )
             edge_parts.append(
                 spans.select(F.col("left").alias("u"), F.col("right").alias("v"))

@@ -324,9 +324,22 @@ def suffix_array_dedup(
 ) -> DataFrame:
     """(<id_col>, component): connected components over "shares an exact
     normalized substring of length >= ``min_len``" — component id = min
-    doc id, singletons kept (same output contract as the flagship)."""
+    doc id, singletons kept (same output contract as the flagship).
+
+    ``truncate`` defaults to ``min_len`` HERE (vs ``min_len + 32`` in
+    ``suffix_array_spans``): components only need ">= min_len detection",
+    and two docs share a >= min_len run iff they share an exact
+    ``min_len``-gram, so emitting each suffix at exactly ``min_len`` bytes
+    is lossless for connectivity — sorted equal grams form contiguous
+    runs whose chain edges connect every doc in the run.  That cuts the
+    emitted/sorted suffix table (the pass's dominant shuffle) by
+    ``1 - min_len/(min_len+32)`` ≈ 3x at the default 16.  Span MAGNITUDE
+    is the only thing lost, and this entry point discards it."""
     from .dedup import _INTEGRAL_DTYPES, run_with_long_ids
     from .grouping import connected_components
+
+    if truncate is None:
+        truncate = min_len
 
     if dict(docs.dtypes)[id_col] not in _INTEGRAL_DTYPES:
         return run_with_long_ids(

@@ -150,3 +150,19 @@ def test_validation_errors(spark, corpus):
         suffix_array_spans(docs, min_len=1)
     with pytest.raises(ValueError, match="truncate"):
         suffix_array_spans(docs, min_len=16, truncate=8)
+
+
+def test_truncate_min_len_components_identical(spark, corpus):
+    """The dedup default truncate=min_len must give the SAME components as
+    the span-reporting truncate (min_len+32): gram-equality is lossless
+    for connectivity, only span magnitude is lost."""
+    docs = _mkdocs(spark, corpus)
+    short = suffix_array_dedup(
+        spark.createDataFrame(docs.toPandas()), min_len=MIN_LEN,
+        num_partitions=5,
+    ).toPandas().set_index("doc_id")["component"].to_dict()
+    long = suffix_array_dedup(
+        spark.createDataFrame(docs.toPandas()), min_len=MIN_LEN,
+        truncate=MIN_LEN + 32, num_partitions=5,
+    ).toPandas().set_index("doc_id")["component"].to_dict()
+    assert short == long

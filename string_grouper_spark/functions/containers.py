@@ -10,10 +10,15 @@ pass over the binary column, and only the selected rows ever reach a real
 decoder (MJPEG-AVI decodes here via ``codecs.decode_avi_mjpeg``; other
 codecs' FRAME decode honestly raises in ``operators.multimodal``).
 
-Parsers are spec-pinned by tests against hand-constructed fixtures:
-ISO/IEC 14496-12 box layout (ftyp/mvhd/tkhd/mdhd/hdlr/stsd/stsz),
-Matroska/WebM EBML vint coding + the public element IDs, and the
-RIFF/AVI ``avih``/``strh`` headers.
+Still images get the same header-only treatment (PNG IHDR, JPEG SOFn
+marker walk — baseline vs progressive without touching the entropy
+stream, GIF logical screen, BMP BITMAPINFOHEADER, PGM/PPM), so one
+``media-probe`` pass triages EVERY payload column.
+
+Parsers are spec-pinned by tests against hand-constructed fixtures and
+the repo's own encoders: ISO/IEC 14496-12 box layout
+(ftyp/mvhd/tkhd/mdhd/hdlr/stsd/stsz), Matroska/WebM EBML vint coding +
+the public element IDs, and the RIFF/AVI ``avih``/``strh`` headers.
 
 No counterpart in the reference repo (string_grouper is strings-only);
 this extends the multimodal column story of ``operators/multimodal.py``.
@@ -351,6 +356,80 @@ def probe_wav(payload: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# image headers (dims without decode)
+# ---------------------------------------------------------------------------
+
+_IMG_KINDS = {0: "gray", 2: "rgb", 3: "palette", 4: "gray+a", 6: "rgba"}
+
+
+def probe_png(payload: bytes) -> dict:
+    """IHDR is mandatory-first: width/height/bit depth/color type at fixed
+    offsets — no inflate, no filter pass."""
+    if payload[12:16] != b"IHDR":
+        raise ValueError("PNG without leading IHDR chunk")
+    w, h = struct.unpack_from(">II", payload, 16)
+    depth, ctype = payload[24], payload[25]
+    codec = f"png/{_IMG_KINDS.get(ctype, ctype)}"
+    return _image_info("png", codec, w, h)
+
+
+def probe_jpeg(payload: bytes) -> dict:
+    """Marker walk to the first SOFn: dimensions + baseline/progressive
+    without running the entropy decoder."""
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker stream desynchronized")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-length
+            pos += 2
+            continue
+        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            # SOFn segment: precision(1) height(2) width(2) ncomp(1)
+            h, w = struct.unpack_from(">HH", payload, pos + 5)
+            kind = {0xC0: "baseline", 0xC1: "extended", 0xC2: "progressive"}.get(
+                marker, f"sof{marker - 0xC0}"
+            )
+            return _image_info("jpeg", f"jpeg/{kind}", w, h)
+        pos += 2 + seglen
+    raise ValueError("JPEG without SOF segment")
+
+
+def probe_gif(payload: bytes) -> dict:
+    w, h = struct.unpack_from("<HH", payload, 6)
+    return _image_info("gif", "gif", w, h)
+
+
+def probe_bmp(payload: bytes) -> dict:
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = abs(struct.unpack_from("<i", payload, 22)[0])
+    return _image_info("bmp", "bmp", w, h)
+
+
+def probe_pnm(payload: bytes) -> dict:
+    from .codecs import _pnm_header
+
+    w, h, _maxval, _off = _pnm_header(payload)
+    kind = {b"P5": "pgm", b"P6": "ppm"}[payload[:2]]
+    return _image_info(kind, kind, w, h)
+
+
+def _image_info(container: str, codec: str, w: int, h: int) -> dict:
+    return {
+        "container": container, "brand": None, "duration_s": None,
+        "tracks": [
+            {
+                "kind": "image", "codec": codec, "duration_s": None,
+                "n_samples": 1, "width": w, "height": h,
+                "sample_rate": None, "channels": None,
+            }
+        ],
+    }
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
@@ -371,7 +450,18 @@ def probe_media(payload: bytes) -> dict:
         return probe_avi(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return probe_wav(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return probe_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return probe_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return probe_gif(payload)
+    if payload[:2] == b"BM":
+        return probe_bmp(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return probe_pnm(payload)
     raise ValueError(
         f"unrecognized media container (magic {payload[:12]!r}); "
-        "probe_media handles MP4/MOV, MKV/WebM, AVI and WAV"
+        "probe_media handles MP4/MOV, MKV/WebM, AVI, WAV, PNG, JPEG, "
+        "GIF, BMP and PGM/PPM"
     )

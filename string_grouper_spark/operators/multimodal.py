@@ -337,7 +337,11 @@ def media_metadata(media: DataFrame, id_col: str = "media_id",
                         duration_s=info["duration_s"],
                         n_tracks=len(info["tracks"]),
                     )
-                    vids = [t for t in info["tracks"] if t["kind"] == "video"]
+                    # the visual track: video for containers, the image
+                    # itself for still formats — one width/height contract
+                    vids = [
+                        t for t in info["tracks"] if t["kind"] in ("video", "image")
+                    ]
                     auds = [t for t in info["tracks"] if t["kind"] == "audio"]
                     if vids:
                         row.update(

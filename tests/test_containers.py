@@ -201,3 +201,33 @@ def test_media_metadata_scan(spark):
     assert out.loc[4, "container"] is None or pd.isna(out.loc[4, "container"])
     assert "unrecognized" in out.loc[4, "err"]
     assert out["err"][:4].isna().all()
+
+
+def test_image_probes_match_encoders():
+    from string_grouper_spark.functions.codecs import (
+        encode_bmp, encode_png, encode_ppm,
+    )
+    from string_grouper_spark.functions.jpeg import (
+        encode_jpeg, encode_jpeg_progressive,
+    )
+
+    img = np.zeros((24, 32, 3), dtype=np.uint8)
+    for payload, container, codec in [
+        (encode_png(img), "png", "png/rgb"),
+        (encode_bmp(img), "bmp", "bmp"),
+        (encode_ppm(img), "ppm", "ppm"),
+        (encode_jpeg(img), "jpeg", "jpeg/baseline"),
+        (encode_jpeg_progressive(img), "jpeg", "jpeg/progressive"),
+    ]:
+        info = C.probe_media(payload)
+        assert info["container"] == container, container
+        (t,) = info["tracks"]
+        assert t["kind"] == "image" and t["codec"] == codec
+        assert (t["width"], t["height"]) == (32, 24), codec
+    # GIF: hand-built logical screen descriptor (no encoder in-repo)
+    gif = b"GIF89a" + struct.pack("<HH", 640, 480) + b"\x00\x00\x00\x3b"
+    info = C.probe_media(gif)
+    assert info["tracks"][0]["width"] == 640
+    # JPEG with the SOF segment stripped must raise, not desync silently
+    with pytest.raises(ValueError):
+        C.probe_jpeg(b"\xff\xd8\xff\xd9")

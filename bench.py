@@ -253,15 +253,20 @@ def main() -> None:
         extract_text_expr(F.col("html")).alias("text"),
     ).persist()
     pdocs.count()
-    timed(
-        "pages_dedup",
-        lambda: fast_lsh_dedup(
+    # the timed body COLLECTS the slim (id, component) frame so the recall
+    # counters below reuse the last rep instead of re-running the whole
+    # clustering a fourth time (labels are 2 slim columns; collect cost is
+    # noise next to the pipeline)
+    _pl: dict = {}
+
+    def _run_pages_dedup():
+        _pl["labels"] = fast_lsh_dedup(
             pdocs, cfg_flag, num_perm=128, num_bands=16, n_docs=n_docs
-        ).count(),
-    )
-    plabels = fast_lsh_dedup(
-        pdocs, cfg_flag, num_perm=128, num_bands=16, n_docs=n_docs
-    ).toPandas()
+        ).toPandas()
+        return len(_pl["labels"])
+
+    timed("pages_dedup", _run_pages_dedup)
+    plabels = _pl["labels"]
     # dup pairs identified = sum over clusters of C(size, 2)
     sizes = plabels.groupby("component").size()
     dup_pairs = int((sizes * (sizes - 1) // 2).sum())
@@ -293,17 +298,15 @@ def main() -> None:
     # the three-generator union (minhash ∪ substring containment) also
     # covers the prefix-slice member the cosine threshold structurally
     # misses: recall vs ALL ground-truth pairs, NO excluded edit classes
-    timed(
-        "pages_dedup_union",
-        lambda: dedup.near_duplicate_clusters_scale(
+    def _run_pages_union():
+        _pl["ulabels"] = dedup.near_duplicate_clusters_scale(
             pdocs, cfg_flag, generators=("minhash", "substring"),
             num_perm=128, num_bands=16, n_docs=n_docs, anchor_len=48,
-        ).count(),
-    )
-    ulabels = dedup.near_duplicate_clusters_scale(
-        pdocs, cfg_flag, generators=("minhash", "substring"),
-        num_perm=128, num_bands=16, n_docs=n_docs, anchor_len=48,
-    ).toPandas()
+        ).toPandas()
+        return len(_pl["ulabels"])
+
+    timed("pages_dedup_union", _run_pages_union)
+    ulabels = _pl["ulabels"]
     utruth = pages.select("page_id", "true_cluster").toPandas()
     umerged = utruth.merge(ulabels, left_on="page_id", right_on="doc_id")
     utpairs: set = set()

@@ -517,7 +517,8 @@ def checkpointed_union_dedup_pipeline(
                         docs, cfg, max_hamming=max_hamming,
                         num_blocks=num_blocks,
                         max_bucket_size=max_bucket_size, text_col=text_col,
-                        id_col=id_col, engine="fast",
+                        id_col=id_col, engine="fast", shingle=shingle,
+                        shingle_words=shingle_words,
                     ).select(LEFT, RIGHT),
                 )
             )

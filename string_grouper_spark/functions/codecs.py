@@ -118,10 +118,30 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         payload, dtype=np.uint8, count=stride * h, offset=data_off
     ).reshape(h, stride)[:, : w * ch]
     img = rows.reshape(h, w, ch) if ch > 1 else rows.reshape(h, w)
+    if ch == 1:
+        # 8-bit pixels are PALETTE LOOKUPS, not intensities: two visually
+        # identical images with permuted palettes would otherwise decode to
+        # unrelated "gray" planes and break perceptual hashing.  The color
+        # table (BGRA quads) sits between the DIB header and the pixel data.
+        clr_used = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal_off = 14 + hdr_size
+        if data_off - pal_off >= clr_used * 4:
+            pal = np.frombuffer(
+                payload, dtype=np.uint8, count=clr_used * 4, offset=pal_off
+            ).reshape(-1, 4)[:, [2, 1, 0]]  # BGRA -> RGB
+            img = pal[np.minimum(img, clr_used - 1)]
+            if (pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all():
+                img = img[..., 0]  # genuinely gray palette -> (h, w)
+            ch = img.shape[2] if img.ndim == 3 else 1
+        # else: no color table stored (non-conformant writer) — raw indices
+        # as intensities is the only available reading
+        if not top_down:
+            img = img[::-1]
+        return np.ascontiguousarray(img)
     if not top_down:
         img = img[::-1]
-    if ch >= 3:  # stored BGR(A) -> return RGB(A)
-        img = img[..., [2, 1, 0] + ([3] if ch == 4 else [])]
+    # stored BGR(A) -> return RGB(A)
+    img = img[..., [2, 1, 0] + ([3] if ch == 4 else [])]
     return np.ascontiguousarray(img)
 
 

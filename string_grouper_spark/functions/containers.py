@@ -382,6 +382,9 @@ def probe_jpeg(payload: bytes) -> dict:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker stream desynchronized")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2 fill bytes before a marker
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-length
             pos += 2
             continue

@@ -770,6 +770,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = payload[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: any number of 0xFF fill bytes
+            pos += 1        # may pad a marker — skip one pad, re-read
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue

@@ -191,7 +191,12 @@ def repetition_stats(
         id_col,
         F.explode(
             F.filter(
-                F.transform(F.split(F.col(text_col), line_sep), lambda x: F.trim(x)),
+                # F.split takes a REGEX: escape so a '.' or '|' separator
+                # splits literally (same guard as corpus_line_dedup)
+                F.transform(
+                    F.split(F.col(text_col), re.escape(line_sep)),
+                    lambda x: F.trim(x),
+                ),
                 lambda x: x != "",
             )
         ).alias("_line"),

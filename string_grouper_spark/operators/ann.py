@@ -826,10 +826,18 @@ def embedding_near_dup_pairs(
         def threshold_mask(S, ids, s, e):
             return (S >= cut) & (ids[s:e, None] < ids[None, :])
 
-        cand = _bucket_blas_pairs(
-            bucketed, ["tbl", "key"], pair_schema,
-            ("left_id", "right_id", "_cos"), threshold_mask,
-        ).dropDuplicates(["left_id", "right_id"])
+        # max over multi-bucket copies, not dropDuplicates: block-shaped
+        # BLAS ulp differences straddling the round_digits boundary would
+        # otherwise flip the threshold decision run-to-run (same fix as
+        # _finalize_topk)
+        cand = (
+            _bucket_blas_pairs(
+                bucketed, ["tbl", "key"], pair_schema,
+                ("left_id", "right_id", "_cos"), threshold_mask,
+            )
+            .groupBy("left_id", "right_id")
+            .agg(F.max("_cos").alias("_cos"))
+        )
         cos = F.col("_cos")
     else:
         raise ValueError(method)

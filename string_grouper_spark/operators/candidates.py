@@ -580,23 +580,40 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def simhash_fast_batch(texts, cfg: MatchConfig) -> np.ndarray:
+def simhash_fast_batch(
+    texts, cfg: MatchConfig, shingle: str = "char", shingle_words: int = 5
+) -> list:
     """The ``engine='fast'`` per-batch kernel: iterable of texts -> int64
-    signatures.  Byte-pack gram codes (plans.fast_dedup._encode_doc)
+    signatures (``None`` for NULL text, mirroring the 'expr' engine's
+    Catalyst null propagation — a null page must not kill a streaming
+    query).  Byte-pack gram codes (plans.fast_dedup._encode_doc)
     splitmix64-mixed to uniform 64-bit hashes, tf-weighted bit votes in one
     numpy pass per doc.  Shared by the batch ``simhash_signatures`` engine
     and the streaming tag (``streaming_simhash_tag(engine='fast')``) so
     stream and batch signatures are bit-identical by construction.
+
+    ``shingle='word'`` votes over the DISTINCT word-``shingle_words``-gram
+    blake2b codes (plans.fast_dedup._word_shingle_codes) — binary-weighted
+    rather than tf-weighted, which is the standard long-document practice
+    (near-dup docs share most shingles; the exact re-score downstream
+    decides membership either way).
     """
-    from ..plans.fast_dedup import _encode_doc
+    from ..plans.fast_dedup import _encode_doc, _word_shingle_codes
 
     texts = list(texts)
     bit_idx = np.arange(64, dtype=np.uint64)
-    out = np.zeros(len(texts), dtype=np.int64)
+    out = [None] * len(texts)
     with np.errstate(over="ignore"):
         for i, t in enumerate(texts):
-            codes, tfs = _encode_doc(t, cfg)
+            if t is None or (isinstance(t, float) and np.isnan(t)):
+                continue  # null text -> null signature (expr-engine parity)
+            if shingle == "word":
+                codes = _word_shingle_codes(t, cfg, shingle_words)
+                tfs = None if codes is None else np.ones(len(codes))
+            else:
+                codes, tfs = _encode_doc(t, cfg)
             if codes is None or len(codes) == 0:
+                out[i] = 0  # empty/too-short text: deterministic zero sig
                 continue
             hv = _splitmix64(codes.astype(np.int64).astype(np.uint64))
             w = tfs.astype(np.float64)
@@ -605,7 +622,7 @@ def simhash_fast_batch(texts, cfg: MatchConfig) -> np.ndarray:
             )
             acc = (w[:, None] * (2.0 * bits - 1.0)).sum(axis=0)
             sig = _BIT_VALUES[acc > 0].sum(dtype=np.uint64)
-            out[i] = sig.astype(np.int64)
+            out[i] = int(sig.astype(np.int64))
     return out
 
 
@@ -615,6 +632,8 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     engine: str = "numpy",
+    shingle: str = "char",
+    shingle_words: int = 5,
 ) -> DataFrame:
     """(doc_id, simhash): tf-weighted 64-bit signatures.
 
@@ -630,13 +649,21 @@ def simhash_signatures(
         Hamming-ball join semantics are unchanged.  This is the scale
         shape: per-doc work with map-side everything.
     """
+    if shingle not in ("char", "word"):
+        raise ValueError(f"shingle must be 'char' or 'word', got {shingle!r}")
+    if shingle == "word" and engine != "fast":
+        raise ValueError(
+            "shingle='word' simhash requires engine='fast' (the Catalyst "
+            "engines hash char n-grams only)"
+        )
     if engine == "fast":
         from pyspark.sql.types import StructField, StructType
 
         schema = StructType(
             [
                 StructField("doc_id", LongType(), False),
-                StructField("simhash", LongType(), False),
+                # nullable: NULL text -> NULL signature (expr-engine parity)
+                StructField("simhash", LongType(), True),
             ]
         )
 
@@ -645,7 +672,9 @@ def simhash_signatures(
                 yield pd.DataFrame(
                     {
                         "doc_id": pdf[id_col],
-                        "simhash": simhash_fast_batch(pdf[text_col], cfg),
+                        "simhash": simhash_fast_batch(
+                            pdf[text_col], cfg, shingle, shingle_words
+                        ),
                     }
                 )
 
@@ -671,6 +700,8 @@ def simhash_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     engine: str = "numpy",
+    shingle: str = "char",
+    shingle_words: int = 5,
 ) -> DataFrame:
     """SimHash Hamming-ball candidates (master_side < dupe_side).
 
@@ -679,9 +710,13 @@ def simhash_candidates(
     EXHAUSTIVE for max_hamming <= num_blocks-1; the bit_count filter then
     enforces the exact ball radius JVM-side.  ``engine`` selects the
     signature kernel (see ``simhash_signatures``; 'fast' = one narrow pass,
-    no shuffle before the block join).
+    no shuffle before the block join); ``shingle``/``shingle_words`` select
+    the vote feature space (word shingles need ``engine='fast'``).
     """
-    sigs = simhash_signatures(docs, cfg, text_col, id_col, engine=engine)
+    sigs = simhash_signatures(
+        docs, cfg, text_col, id_col, engine=engine,
+        shingle=shingle, shingle_words=shingle_words,
+    )
     return hamming_ball_pairs(
         sigs, max_hamming=max_hamming, num_blocks=num_blocks,
         max_bucket_size=max_bucket_size, id_col=DOC, sig_col="simhash",
@@ -706,6 +741,13 @@ def hamming_ball_pairs(
     ``bit_count`` filter then enforces the exact ball radius JVM-side.
     """
     assert 64 % num_blocks == 0
+    if max_hamming > num_blocks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs num_blocks >= {max_hamming + 1} "
+            f"(got {num_blocks}): the pigeonhole block join is only "
+            "exhaustive for max_hamming <= num_blocks - 1 — a wider radius "
+            "would silently drop pairs differing in every block"
+        )
     width = 64 // num_blocks
     mask = (1 << width) - 1
     blocks = sigs.select(
@@ -1028,11 +1070,12 @@ def substring_containment_bipartite(
     >= anchor_len characters) — lower ``anchor_len`` to cover shorter
     items, and pass ``skip_stats`` (a dict) to receive
     ``{"n_inner_skipped": ...}`` so short-item skips are never silent.
-    The normalized corpus side is persisted for the two consumers
-    (stripe index + verify join) and stays cached until the returned
-    plan's results are consumed and the executor evicts it — on repeated
-    calls in one session, clear it via ``spark.catalog.clearCache()`` or
-    re-use one matcher result.
+    The normalized corpus side is localCheckpoint-ed for the two consumers
+    (stripe index + verify join): eager, computed once, and its blocks are
+    released by the ContextCleaper's plan GC when the result is dropped —
+    ``persist()`` would leak a CacheManager entry per call for the session
+    lifetime, since no caller can safely unpersist a lazily-consumed
+    result (the group_rep ``_with_pos`` lesson).
     """
     from ..functions.normalize import normalize_expr
 
@@ -1045,7 +1088,7 @@ def substring_containment_bipartite(
     outer_norm = outer_docs.select(
         F.col(id_col).alias("outer_id"),
         normalize_expr(F.col(text_col), cfg).alias("outer_norm"),
-    ).persist()
+    ).localCheckpoint()
     if skip_stats is not None:
         n_skip = inner_norm.where(F.length("inner_norm") < anchor_len).count()
         skip_stats["n_inner_skipped"] = int(n_skip)

@@ -287,11 +287,14 @@ def near_duplicate_clusters_scale(
                     )
                 )
             if "simhash" in cos_gens:
+                # shingle threads through so proposal happens in the SAME
+                # feature space the exact re-score decides in
                 cands.append(
                     simhash_candidates(
                         docs, cfg, max_hamming=max_hamming, num_blocks=num_blocks,
                         max_bucket_size=max_bucket_size, text_col=text_col,
-                        id_col=id_col, engine="fast",
+                        id_col=id_col, engine="fast", shingle=shingle,
+                        shingle_words=shingle_words,
                     ).select(LEFT, RIGHT)
                 )
             cand = cands[0]

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Iterator, Optional
 
 import numpy as np
@@ -204,7 +205,12 @@ def image_hashes(
                         fake=fake,
                     )
                     h = kernel(arr)
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, struct.error,
+                        zlib.error, IndexError, KeyError):
+                    # truncated/corrupt payloads surface as any of these
+                    # from the pure-python codecs; at web scale some
+                    # fraction of crawled images is ALWAYS corrupt, so
+                    # they yield a NULL hash instead of failing the scan
                     h = None
                 ids.append(getattr(row, id_col))
                 hashes.append(h)

@@ -191,7 +191,10 @@ def streaming_simhash_tag(
         from pyspark.sql.types import LongType, StructField, StructType
 
         out_schema = StructType(
-            list(stream.schema.fields) + [StructField("simhash", LongType(), False)]
+            # nullable: NULL text -> NULL signature, matching the 'expr'
+            # engine's Catalyst null propagation (a null page must not
+            # kill the streaming query)
+            list(stream.schema.fields) + [StructField("simhash", LongType(), True)]
         )
 
         def tag(batches):

@@ -531,3 +531,45 @@ def test_bipartite_containment_reports_short_item_skips(spark, docs):
         bench, docs.limit(20), MatchConfig(), anchor_len=16, skip_stats=stats
     ).count()
     assert stats["n_inner_skipped"] == 1
+
+
+def test_hamming_ball_radius_validation(spark):
+    import pandas as _pd
+
+    sigs = spark.createDataFrame(
+        _pd.DataFrame({"doc_id": [1, 2], "simhash": [0, -1]})
+    )
+    with pytest.raises(ValueError) as ei:
+        cand.hamming_ball_pairs(sigs, max_hamming=8, num_blocks=8)
+    assert "pigeonhole" in str(ei.value)
+
+
+def test_simhash_fast_null_text_and_word_shingles(spark):
+    import pandas as _pd
+
+    cfg = MatchConfig()
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    # null text -> None signature (no crash; expr-engine parity)
+    out = cand.simhash_fast_batch([base, None, ""], cfg)
+    assert out[1] is None and isinstance(out[0], int) and out[2] == 0
+    # word shingles: doc sharing most word 5-grams lands near; a doc with
+    # the same CHARS but shuffled words lands far
+    near = base + " extra tail"
+    shuffled = " ".join(reversed(base.split()))
+    s = cand.simhash_fast_batch([base, near, shuffled], cfg, shingle="word")
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(s[0], s[1]) < ham(s[0], s[2])
+    # Catalyst engines cannot do word shingles: loud error
+    docs = spark.createDataFrame(_pd.DataFrame({"doc_id": [1], "text": [base]}))
+    with pytest.raises(ValueError):
+        cand.simhash_signatures(docs, cfg, engine="expr", shingle="word")
+    # fast engine end-to-end with word shingles + a null text row
+    docs2 = spark.createDataFrame(
+        _pd.DataFrame({"doc_id": [1, 2], "text": [base, None]})
+    )
+    got = (
+        cand.simhash_signatures(docs2, cfg, engine="fast", shingle="word")
+        .toPandas().set_index("doc_id")
+    )
+    assert got.loc[1, "simhash"] == s[0] and pd.isna(got.loc[2, "simhash"])

@@ -438,3 +438,62 @@ def test_extract_features_real_video_path(spark):
     )
     with pytest.raises(Exception, match="non-AVI video containers"):
         extract_features(mp4ish, fake=False).collect()
+
+
+def test_bmp_8bit_palette_lookup():
+    """8-bit BMP pixels are palette indices: decode must map through the
+    color table, not return raw indices as intensities."""
+    import struct as _s
+
+    w, h = 4, 2
+    pal = [(10, 20, 30), (200, 100, 50), (0, 0, 0), (255, 255, 255)]  # RGB
+    pal_bytes = b"".join(bytes([b, g, r, 0]) for (r, g, b) in pal)
+    data_off = 54 + len(pal_bytes)
+    rows = [bytes([0, 1, 2, 3]), bytes([3, 2, 1, 0])]  # stride == w here
+    data = rows[1] + rows[0]  # bottom-up
+    payload = (
+        _s.pack("<2sIHHI", b"BM", data_off + len(data), 0, 0, data_off)
+        + _s.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(data), 0, 0, 4, 0)
+        + pal_bytes + data
+    )
+    img = codecs.decode_bmp(payload)
+    assert img.shape == (2, 4, 3)
+    assert img[0].tolist() == [list(p) for p in pal]
+    assert img[1].tolist() == [list(p) for p in reversed(pal)]
+    # genuinely gray palette -> 2-D intensity plane
+    gray_pal = b"".join(bytes([v, v, v, 0]) for v in (0, 85, 170, 255))
+    payload_g = payload[:54] + gray_pal + data
+    img_g = codecs.decode_bmp(payload_g)
+    assert img_g.shape == (2, 4)
+    assert img_g[0].tolist() == [0, 85, 170, 255]
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker — the
+    decoder and header probe must skip them, not desync."""
+    from string_grouper_spark.functions import containers as C
+    from string_grouper_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = (np.arange(16 * 16 * 3) % 251).reshape(16, 16, 3).astype(np.uint8)
+    payload = encode_jpeg(img, quality=90)
+    padded = payload[:2] + b"\xff\xff" + payload[2:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(payload))
+    info = C.probe_jpeg(padded)
+    assert info["tracks"][0]["width"] == 16
+
+
+def test_image_hashes_corrupt_payload_yields_null(spark):
+    from string_grouper_spark.operators.multimodal import image_hashes
+
+    good = codecs.encode_png(_img(16, 16, seed=3))
+    bad_png = good[:40]  # valid signature, truncated IDAT -> zlib/struct
+    bad_bmp = codecs.encode_bmp(_img(8, 8, seed=4))[:20]
+    pdf = pd.DataFrame(
+        {"media_id": [0, 1, 2], "payload": [good, bad_png, bad_bmp]}
+    )
+    out = (
+        image_hashes(spark.createDataFrame(pdf))
+        .toPandas().set_index("media_id").sort_index()
+    )
+    assert out.loc[0, "img_hash"] is not None
+    assert pd.isna(out.loc[1, "img_hash"]) and pd.isna(out.loc[2, "img_hash"])

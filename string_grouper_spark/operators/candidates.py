@@ -750,6 +750,11 @@ def hamming_ball_pairs(
         )
     width = 64 // num_blocks
     mask = (1 << width) - 1
+    # NULL signatures (null text upstream) carry no information and must
+    # not pair: groupBy — unlike an equi-join — puts all NULL keys in ONE
+    # group, so without this filter every null-sig doc would bucket with
+    # every other null-sig doc in every band
+    sigs = sigs.where(F.col(sig_col).isNotNull())
     blocks = sigs.select(
         F.col(id_col).alias(DOC),
         F.col(sig_col).alias("_sig"),

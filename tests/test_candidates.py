@@ -573,3 +573,15 @@ def test_simhash_fast_null_text_and_word_shingles(spark):
         .toPandas().set_index("doc_id")
     )
     assert got.loc[1, "simhash"] == s[0] and pd.isna(got.loc[2, "simhash"])
+
+
+def test_null_signatures_never_pair(spark):
+    """groupBy groups NULL keys together (unlike joins): null-sig docs must
+    be filtered, not bucketed with each other."""
+    import pandas as _pd
+
+    sigs = spark.createDataFrame(
+        _pd.DataFrame({"doc_id": [1, 2, 3], "simhash": [None, None, 7]})
+    ).withColumn("simhash", F.col("simhash").cast("long"))
+    out = cand.hamming_ball_pairs(sigs, max_hamming=3, num_blocks=4).toPandas()
+    assert len(out) == 0

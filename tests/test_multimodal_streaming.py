@@ -495,3 +495,40 @@ def test_streaming_url_dedup(spark, tmp_path):
     # 60 canonical identities; each variant collapsed onto its original
     assert len(out) == 60
     assert out["canonical_url"].nunique() == 60
+
+
+def test_streaming_media_metadata(spark, tmp_path):
+    """media_metadata is a stateless mapInPandas — legal in Structured
+    Streaming: probing a media stream needs no batch rewrite."""
+    import numpy as np
+
+    from string_grouper_spark.functions.codecs import encode_png, encode_wav
+    from string_grouper_spark.operators.multimodal import media_metadata
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": [0, 1, 2],
+            "payload": [
+                encode_png(np.zeros((4, 6, 3), dtype=np.uint8)),
+                encode_wav(np.zeros(800, dtype=np.int16), 8000),
+                b"junk",
+            ],
+        }
+    )
+    src = f"{tmp_path}/media"
+    batch = spark.createDataFrame(pdf)
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        media_metadata(stream)
+        .writeStream.format("memory")
+        .queryName("probe_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from probe_out").toPandas().set_index("media_id").sort_index()
+    assert out.loc[0, "container"] == "png" and out.loc[0, "width"] == 6
+    assert out.loc[1, "container"] == "wav"
+    assert "unrecognized" in out.loc[2, "err"]

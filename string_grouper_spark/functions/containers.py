@@ -374,30 +374,17 @@ def probe_png(payload: bytes) -> dict:
 
 
 def probe_jpeg(payload: bytes) -> dict:
-    """Marker walk to the first SOFn: dimensions + baseline/progressive
-    without running the entropy decoder."""
-    pos = 2
-    n = len(payload)
-    while pos + 4 <= n:
-        if payload[pos] != 0xFF:
-            raise ValueError("JPEG marker stream desynchronized")
-        marker = payload[pos + 1]
-        if marker == 0xFF:  # T.81 B.1.1.2 fill bytes before a marker
-            pos += 1
-            continue
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-length
-            pos += 2
-            continue
-        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
-        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            # SOFn segment: precision(1) height(2) width(2) ncomp(1)
-            h, w = struct.unpack_from(">HH", payload, pos + 5)
-            kind = {0xC0: "baseline", 0xC1: "extended", 0xC2: "progressive"}.get(
-                marker, f"sof{marker - 0xC0}"
-            )
-            return _image_info("jpeg", f"jpeg/{kind}", w, h)
-        pos += 2 + seglen
-    raise ValueError("JPEG without SOF segment")
+    """Dimensions + baseline/progressive from the first SOFn, without
+    running the entropy decoder.  The marker walk lives in
+    ``functions.jpeg.find_sof`` (shared with the decoder module, so
+    T.81 marker-handling fixes land exactly once)."""
+    from .jpeg import find_sof
+
+    marker, h, w, _ncomp = find_sof(payload)
+    kind = {0xC0: "baseline", 0xC1: "extended", 0xC2: "progressive"}.get(
+        marker, f"sof{marker - 0xC0}"
+    )
+    return _image_info("jpeg", f"jpeg/{kind}", w, h)
 
 
 def probe_gif(payload: bytes) -> dict:

@@ -753,6 +753,36 @@ def _decode_scan(
     return len(payload)
 
 
+def find_sof(payload: bytes):
+    """Marker walk to the first SOFn frame header — the ONE shared
+    implementation of the pre-entropy segment scan (T.81 B.1.1.2 fill
+    bytes included), used by the header probe (``containers.probe_jpeg``)
+    so marker-handling fixes land once.  Returns ``(sof_marker, height,
+    width, n_components)``; raises ``ValueError`` on desync or if the
+    stream ends (EOI / SOS) before any frame header."""
+    pos, n = 2, len(payload)
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker stream desynchronized")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte padding a marker
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone markers
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / entropy start: no frame header
+            break
+        if pos + 4 > n:
+            break
+        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack_from(">HH", payload, pos + 5)
+            return marker, h, w, payload[pos + 9]
+        pos += 2 + seglen
+    raise ValueError("JPEG without SOF segment")
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline OR progressive JFIF bytes -> uint8 (h,w) or (h,w,3) RGB."""
     if payload[:2] != b"\xff\xd8":

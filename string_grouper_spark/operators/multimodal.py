@@ -360,8 +360,11 @@ def media_metadata(media: DataFrame, id_col: str = "media_id",
                             sample_rate=auds[0]["sample_rate"],
                             channels=auds[0]["channels"],
                         )
-                except (ValueError, struct.error) as exc:
-                    row["err"] = str(exc)
+                except (ValueError, struct.error, IndexError, KeyError) as exc:
+                    # truncated headers index past the buffer (IndexError)
+                    # or miss required fields (KeyError) — same corrupt-
+                    # payload class as ValueError/struct.error
+                    row["err"] = f"{type(exc).__name__}: {exc}"
                 rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in METADATA_SCHEMA])
 

@@ -77,8 +77,20 @@ def curate_pages(
     # re-crawl case, and a url-only anti-join would hide the losing row.
     # Rows byte-identical to the winner in BOTH keys are indistinguishable;
     # they are covered by the arithmetic counter below, never silently.
+    # eqNullSafe on warc_ts: url_dedup deliberately KEEPS a null-ts row
+    # (sentinel ordering, original value preserved), and a plain `=` join
+    # would fail to match that kept row against itself and falsely report
+    # it dropped
+    kept_keys = uniq.select(
+        F.col("url").alias("_k_url"), F.col("warc_ts").alias("_k_ts")
+    )
     url_dropped = (
-        pages.join(uniq.select("url", "warc_ts"), ["url", "warc_ts"], "left_anti")
+        pages.join(
+            kept_keys,
+            (pages["url"] == kept_keys["_k_url"])
+            & pages["warc_ts"].eqNullSafe(kept_keys["_k_ts"]),
+            "left_anti",
+        )
         .select(
             "url",
             F.lit("url_dedup").alias("stage"),

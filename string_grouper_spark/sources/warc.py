@@ -171,9 +171,11 @@ def write_warc(
         second write with fewer partitions would leave the first run's
         higher-numbered ``part-*`` files in place and ``read_warc`` would
         silently return the UNION of both runs.
-      * each task writes ``part-NNNNN.inprogress`` then ``os.replace``\\ s
-        it into the final name — a retried/speculative attempt can never
-        interleave bytes into a shard a reader might open.
+      * each task ATTEMPT writes ``part-NNNNN<ext>.inprogress-<attemptId>``
+        then ``os.replace``\\ s it into the final name — attempt-unique
+        temp paths mean a retried/speculative attempt can neither
+        interleave bytes with another attempt nor mutate a shard a reader
+        might already have opened; last finisher wins atomically.
       * NULL url/warc_ts/html raise a ``ValueError`` naming the column
         (``read_warc`` itself can produce null ``warc_ts`` for exotic
         WARC-Date formats; failing loud here beats an opaque ``strftime``
@@ -190,32 +192,37 @@ def write_warc(
     slim = df.select(*cols)
     if num_files is not None:
         slim = slim.repartition(num_files)
+    if mode not in ("error", "overwrite"):
+        raise ValueError(f"unknown write_warc mode {mode!r}")
     os.makedirs(path, exist_ok=True)
     ext = ".warc.gz" if compress else ".warc"
     stale = [
         f for f in os.listdir(path)
-        if f.startswith("part-") or f.endswith(".inprogress")
+        if f.startswith("part-") or ".inprogress" in f
     ]
     if stale:
         if mode == "overwrite":
             for f in stale:
                 os.remove(os.path.join(path, f))
-        elif mode == "error":
+        else:
             raise ValueError(
                 f"WARC sink {path!r} already holds {len(stale)} shard file(s); "
                 "pass mode='overwrite' to replace them (stale part-* files "
                 "from a previous run would otherwise be read back as data)"
             )
-        else:
-            raise ValueError(f"unknown write_warc mode {mode!r}")
 
     def _write(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         fname = f"part-{pid:05d}{ext}"
         full = os.path.join(path, fname)
-        tmp = full + ".inprogress"
+        # ATTEMPT-unique temp name: with speculation/zombie retries two
+        # attempts of one partition must never share an inode — a shared
+        # temp path would let attempt B truncate attempt A mid-write, or
+        # keep writing into the file A already published via os.replace
+        tmp = f"{full}.inprogress-{ctx.taskAttemptId()}"
         n = 0
         info = serialize_warcinfo(fname)
         with open(tmp, "wb") as fh:

@@ -231,3 +231,23 @@ def test_image_probes_match_encoders():
     # JPEG with the SOF segment stripped must raise, not desync silently
     with pytest.raises(ValueError):
         C.probe_jpeg(b"\xff\xd8\xff\xd9")
+
+
+def test_media_metadata_truncated_headers_land_in_err(spark):
+    """Truncated headers raise IndexError from the probes — they must land
+    in `err`, not kill the scan (the documented contract)."""
+    from string_grouper_spark.operators.multimodal import media_metadata
+
+    trunc_png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", 4, 4)
+    empty_mvhd_mp4 = (
+        box(b"ftyp", b"isom" + struct.pack(">I", 512))
+        + struct.pack(">I", 8) + b"moov"[:4]
+    ) + struct.pack(">I", 8) + b"mvhd"
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [0, 1, 2],
+                      "payload": [trunc_png, empty_mvhd_mp4, make_mp4()]})
+    )
+    out = media_metadata(df).toPandas().set_index("media_id").sort_index()
+    assert out.loc[0, "err"] is not None and "IndexError" in out.loc[0, "err"]
+    assert out.loc[2, "err"] is None or pd.isna(out.loc[2, "err"])
+    assert out.loc[2, "container"] == "mp4"

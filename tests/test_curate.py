@@ -150,3 +150,29 @@ def test_recrawl_same_url_is_accounted_in_dropped(spark):
     kept_ts = res["curated"].toPandas()["warc_ts"]
     assert list(kept_ts) == [dt.datetime(2024, 1, 1)]
     res["unpersist"]()
+
+
+def test_kept_null_ts_page_not_falsely_dropped(spark):
+    """The drop-accounting anti-join must be null-safe on warc_ts: a KEPT
+    page whose WARC-Date failed to parse must not appear in `dropped`."""
+    t1 = _clean_text()
+    pdf = pd.DataFrame(
+        {
+            "url": ["https://a.com/nullts"],
+            "warc_ts": [pd.NaT],
+            "html": [wrap_html(t1)],
+            "text": [t1],
+            "lang": ["en"],
+        }
+    )
+    pages = spark.createDataFrame(pdf).withColumn(
+        "warc_ts", F.col("warc_ts").cast("timestamp")
+    )
+    res = curate_pages(
+        spark, pages, generators=("minhash",), num_bands=32,
+        max_bucket_size=None,
+    )
+    assert res["dropped"].count() == 0
+    assert res["counters"]["n_dropped_url_dedup"] == 0
+    assert res["curated"].count() == 1
+    res["unpersist"]()

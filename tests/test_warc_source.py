@@ -216,7 +216,10 @@ def test_sink_refuses_stale_shards_and_overwrite_clears_them(spark, tmp_path):
     # read back: ONLY the second run's records (no union with run 1)
     assert W.read_warc(spark, out).count() == 10
     # no in-progress temp files left behind
-    assert not [f for f in os.listdir(out) if f.endswith(".inprogress")]
+    assert not [f for f in os.listdir(out) if ".inprogress" in f]
+    # invalid mode rejected up front, even on a directory with no shards
+    with pytest.raises(ValueError, match="unknown write_warc mode"):
+        W.write_warc(pages.limit(1), str(tmp_path / "fresh"), mode="append")
 
 
 def test_sink_null_column_raises_named_error(spark, tmp_path):

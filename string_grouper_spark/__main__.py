@@ -303,6 +303,12 @@ def main(argv: Optional[list] = None) -> int:
                 f"{args.output_dir}/{name}"
             )
         res["unpersist"]()
+        # the run's metrics table (north rule: stage counters persist with
+        # the outputs, not only on stdout) — one row per counter
+        spark.createDataFrame(
+            [(k, int(v)) for k, v in res["counters"].items()],
+            "counter string, value bigint",
+        ).coalesce(1).write.mode("overwrite").json(f"{args.output_dir}/_metrics")
         print(json.dumps({"command": "curate", **res["counters"]}))
         return 0
     df = spark.read.parquet(args.input)

@@ -97,6 +97,12 @@ def test_curate_cli_from_warc(spark, tmp_path):
     # the clustering stage checkpointed (resumable)
     stages = set(spark.read.json(f"{tmp_path}/ck/_metrics").toPandas()["stage"])
     assert "labels" in stages
+    # the run's counters persist with the outputs (north-rule metrics table)
+    metrics = (
+        spark.read.json(f"{out}/_metrics").toPandas()
+        .set_index("counter")["value"].to_dict()
+    )
+    assert metrics["n_input"] == 5 and metrics["n_curated"] == 2
 
 
 def test_null_ts_page_never_elected_canonical(spark):

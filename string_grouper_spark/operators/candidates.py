@@ -1012,16 +1012,28 @@ def substring_containment(
     from ..functions.normalize import normalize_expr
 
     k, w = _substring_params(anchor_len, window_len, stride)
-    norm = docs.select(
-        F.col(id_col).alias(DOC),
-        normalize_expr(F.col(text_col), cfg).alias("norm"),
-    ).persist()
-    long_enough = norm.where(F.length("norm") >= anchor_len)
     winnow = make_winnow_udf(k, w)
-    # one narrow Arrow pass: rolling window hashes + winnowing minima, all
-    # numpy (length threshold is on CHARS; byte windows only grow the
-    # window count, so the guaranteed-hit bound is preserved)
-    fps = long_enough.select(DOC, "norm", winnow(F.col("norm")).alias("fp"))
+    # ONE narrow Arrow pass computes normalization + rolling window hashes +
+    # winnowing minima, localCheckpoint-ed (lazy) because it has THREE
+    # consumers — the anchor explode, the stripe-index explode and the
+    # verify join.  The previous shape recomputed the winnow UDF once per
+    # explode side and leaked a ``persist()`` CacheManager entry per call
+    # (no caller can safely unpersist a lazily-consumed result — the
+    # bipartite sibling's documented lesson); the checkpoint runs the pass
+    # once and its blocks are reclaimed with the RDD.  At corpus scale the
+    # winnow pass over every normalized byte is the dominant narrow stage,
+    # so halving it matters more than the checkpoint's storage.
+    # (Length threshold is on CHARS; byte windows only grow the window
+    # count, so the guaranteed-hit bound is preserved.)
+    fps = (
+        docs.select(
+            F.col(id_col).alias(DOC),
+            normalize_expr(F.col(text_col), cfg).alias("norm"),
+        )
+        .where(F.length("norm") >= anchor_len)
+        .select(DOC, "norm", winnow(F.col("norm")).alias("fp"))
+        .localCheckpoint(eager=False)
+    )
     # anchors: winnowing fingerprints (distinct sliding minima) of inner docs
     anchors = fps.select(
         F.col(DOC).alias("inner_id"),
@@ -1039,8 +1051,11 @@ def substring_containment(
         .select("inner_id", "outer_id", "inner_norm")
         .dropDuplicates(["inner_id", "outer_id"])
     )
+    # every candidate's outer_id comes from the stripe index, which only
+    # holds >= anchor_len docs — so joining the checkpointed fps (instead
+    # of a separate full-norm table) verifies the same candidate set
     verified = cand.join(
-        norm.select(F.col(DOC).alias("outer_id"), F.col("norm").alias("outer_norm")),
+        fps.select(F.col(DOC).alias("outer_id"), F.col("norm").alias("outer_norm")),
         "outer_id",
     ).where(F.expr("locate(inner_norm, outer_norm) > 0"))
     return verified.select("inner_id", "outer_id")

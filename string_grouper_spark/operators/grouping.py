@@ -15,7 +15,7 @@ ids are stable across partitionings and cluster sizes.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -37,13 +37,32 @@ def _canonical_undirected(edges: DataFrame) -> DataFrame:
     )
 
 
-def _edge_fingerprint(edges: DataFrame) -> Tuple[int, int]:
-    # bit_xor instead of sum: overflow-proof under ANSI mode and order-free
-    row = edges.select(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
-    ).first()
-    return row["n"], row["h"]
+def _is_star_forest(edges: DataFrame) -> bool:
+    """True iff the canonical edge set is a union of DISJOINT min-rooted
+    stars — the large/small-star fixed point the label extraction assumes.
+
+    Condition on canonical (a > b) edges: (1) no node appears on both the
+    member ('a') and center ('b') side, and (2) every member has exactly one
+    center.  Sufficiency: on such a graph one more large-star + small-star
+    round provably re-emits the same edges, so iterating further is pure
+    cost.  This replaces the previous fingerprint-equality stop, which had
+    to RUN the extra round to observe that nothing changed — one whole
+    round (≈5 exchanges + a checkpoint materialization) saved per
+    connected_components call, and a plain-wrong-labels guard: a
+    hypothetical non-star fixed point now raises at ``max_iterations``
+    instead of silently passing fingerprint equality into the star-shaped
+    label extraction.  Cost: one count-aggregation + limit-1 job over the
+    (checkpointed) edge set per round.
+    """
+    sides = edges.select(F.col("a").alias("n"), F.lit(1).alias("ia")).unionAll(
+        edges.select(F.col("b").alias("n"), F.lit(0).alias("ia"))
+    )
+    viol = (
+        sides.groupBy("n")
+        .agg(F.sum("ia").alias("na"), F.sum(1 - F.col("ia")).alias("nb"))
+        .where((F.col("na") > 0) & ((F.col("nb") > 0) | (F.col("na") > 1)))
+    )
+    return viol.isEmpty()
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -80,13 +99,13 @@ def connected_components(
         edges.select(F.col(ec[0]).alias("u"), F.col(ec[1]).alias("v"))
     ).localCheckpoint()
 
-    prev_fp = None
-    for _ in range(max_iterations):
-        cur = _small_star(_large_star(cur)).localCheckpoint()
-        fp = _edge_fingerprint(cur)
-        if fp == prev_fp:
+    # converged the moment the edges are a disjoint star forest (checked
+    # BEFORE each round too: an already-star input pays no round at all);
+    # see _is_star_forest for why this saves one full round per call
+    for _ in range(max_iterations + 1):
+        if _is_star_forest(cur):
             break
-        prev_fp = fp
+        cur = _small_star(_large_star(cur)).localCheckpoint()
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
 

@@ -20,31 +20,35 @@ The plan, and why it survives 100 TB:
    ``norm[i : i+truncate]`` per document (numpy normalization via the
    shared ``py_normalize``; no shuffle; output bytes are bounded by
    ``truncate`` x corpus bytes).
-2. ``repartitionByRange(suff)`` + ``sortWithinPartitions(suff)``: the
-   concatenation of sorted partitions IS the (truncated) suffix array of
-   the corpus.  Range partitioning is the skew story: a boilerplate run
-   repeated 10^9 times is SPLIT EVENLY across executors by the sampled
-   range bounds — no hot hash bucket, no salting, no size caps.
+2. HASH partitioning on the first ``min_len`` bytes of each suffix +
+   ``sortWithinPartitions(suff)``.  Any pair with a shared prefix of
+   >= ``min_len`` bytes shares those exact bytes, hence the partition —
+   so every sorted run that can produce an edge is CONTIGUOUS AND WHOLE
+   inside one partition (a suffix lexicographically between two members
+   of a run must itself start with the run's prefix).  The partition-local
+   sorted order restricted to a run equals the global suffix-array order,
+   so the emitted chain-edge multiset is identical to a global range sort
+   with boundary stitching — with two structural savings:
+     * no range-bound SAMPLING job: ``repartitionByRange`` runs a full
+       sampling pass over its child, which recomputed the entire suffix
+       emission (a second pass over every corpus byte at scale); hash
+       partitioning computes the partition id map-side in the same pass;
+     * no partition-boundary stitch: runs never straddle partitions, so
+       the first/last-row collect and the driver-side repair are gone.
+   Skew note (r5 ADVICE, corrected here): RangePartitioner maps EQUAL keys
+   to ONE partition, so a byte-identical boilerplate megarun was never
+   split by range bounds either — both schemes put it in a single
+   partition, where the linear LCP scan (m-1 edges per run, see below) and
+   the external sort's spilling bound the cost; hash distributes DISTINCT
+   prefixes uniformly without needing representative samples.
 3. A per-partition vectorized LCP scan over ADJACENT suffixes only.
    Within a sorted run of m suffixes sharing a >= ``min_len`` prefix the
    scan emits m-1 chain edges, never m^2/2 pairs — the megabucket blowup
    every bucket-join generator has to guard against simply does not exist
    here (LCP(s_i, s_j) = min of adjacent LCPs, so chain edges carry the
    full connectivity of the run).
-4. The single missing adjacency per partition boundary (2 x numPartitions
-   tiny rows: first/last suffix of each sorted partition) is stitched
-   driver-side with the same numpy LCP kernel.
-5. Components come from the existing O(log n) large/small-star loop;
+4. Components come from the existing O(log n) large/small-star loop;
    per-pair spans from one max aggregation over the slim edge triples.
-
-Cost note: ``repartitionByRange`` samples its input to pick range bounds,
-which recomputes the suffix-emission pass once (Spark runs a sampling job
-over the child plan).  That is the deliberate trade at scale: the
-emission is a cheap column-pruned scan plus a narrow Arrow pass (measured
-~2.4 s of a ~40 s 120k-page job), while the alternative — persisting the
-emitted suffix table to make sampling free — would cache ``truncate`` x
-corpus bytes (petabytes at the target scale).  Recompute the narrow pass;
-never materialize the expansion.
 """
 from typing import Iterator, Optional
 
@@ -69,16 +73,11 @@ _SUFF_SCHEMA = StructType(
     ]
 )
 
-# tagged union: interior chain edges (is_edge=1) + partition boundary rows
-_SCAN_SCHEMA = StructType(
+_EDGE_SCHEMA = StructType(
     [
-        StructField("is_edge", IntegerType(), False),
-        StructField("left", LongType(), True),
-        StructField("right", LongType(), True),
-        StructField("span", IntegerType(), True),
-        StructField("bsuff", BinaryType(), True),
-        StructField("bid", LongType(), True),
-        StructField("bfirst", IntegerType(), True),
+        StructField("left", LongType(), False),
+        StructField("right", LongType(), False),
+        StructField("span", IntegerType(), False),
     ]
 )
 
@@ -112,6 +111,26 @@ def _emit_suffixes(
             )
 
     return docs.select(id_col, text_col).mapInPandas(run, _SUFF_SCHEMA)
+
+
+def _partition_sorted(
+    suffixes: DataFrame, min_len: int, num_partitions: int
+) -> DataFrame:
+    """Hash-partition the suffix table by the first ``min_len`` bytes, then
+    sort each partition — the edge-equivalent of a global range sort.
+
+    Correctness (see module docstring): an adjacent pair with lcp >=
+    ``min_len`` shares its first ``min_len`` bytes verbatim, so every
+    edge-producing sorted run lands whole in one partition, internally in
+    exactly its global suffix-array order; no cross-partition adjacency can
+    carry an edge.  Unlike ``repartitionByRange`` this computes partition
+    ids map-side in the same pass (no range-bound sampling job, which
+    recomputed the whole suffix emission) and needs no boundary stitch.
+    """
+    return suffixes.repartition(
+        num_partitions,
+        F.xxhash64(F.expr(f"substring(suff, 1, {int(min_len)})")),
+    ).sortWithinPartitions("suff", "doc_id")
 
 
 def _tail_lcp(ta: bytes, tb: bytes) -> int:
@@ -217,19 +236,15 @@ def suffix_array_spans(
         sc = docs.sparkSession.sparkContext
         est = (in_bytes * truncate) // (128 << 20)
         num_partitions = int(max(sc.defaultParallelism, min(est, 2_000_000)))
-    ranged = suffixes.repartitionByRange(num_partitions, "suff")
-    sorted_suff = ranged.sortWithinPartitions("suff", "doc_id")
+    sorted_suff = _partition_sorted(suffixes, min_len, num_partitions)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         prev_suff, prev_id = None, None
-        first_row = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             suffs = list(pdf["suff"])
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            if first_row is None:
-                first_row = (suffs[0], int(ids[0]))
             if prev_suff is not None:
                 # stitch across Arrow batches inside this partition
                 suffs = [prev_suff] + suffs
@@ -239,78 +254,15 @@ def suffix_array_spans(
             prev_suff, prev_id = suffs[-1], int(ids[-1])
             if len(l):
                 yield pd.DataFrame(
-                    {
-                        "is_edge": np.ones(len(l), dtype=np.int32),
-                        "left": l,
-                        "right": r,
-                        "span": sp.astype(np.int32),
-                        "bsuff": None,
-                        "bid": np.zeros(len(l), dtype=np.int64),
-                        "bfirst": np.zeros(len(l), dtype=np.int32),
-                    }
+                    {"left": l, "right": r, "span": sp.astype(np.int32)}
                 )
-        if first_row is not None:
-            yield pd.DataFrame(
-                {
-                    "is_edge": [0, 0],
-                    "left": [0, 0],
-                    "right": [0, 0],
-                    "span": [0, 0],
-                    "bsuff": [first_row[0], prev_suff],
-                    "bid": [first_row[1], prev_id],
-                    "bfirst": [1, 0],
-                }
-            )
 
-    scanned = sorted_suff.mapInPandas(scan, _SCAN_SCHEMA)
-    scanned = scanned.persist()
-    try:
-        edges = scanned.where(F.col("is_edge") == 1).select("left", "right", "span")
-
-        # Partition-boundary stitch: 2 rows per non-empty partition.  The
-        # boundary rows sort globally exactly like the partitions they came
-        # from (range partitioning), so consecutive (last of p, first of q)
-        # pairs are precisely the missing adjacencies.
-        bnd = (
-            scanned.where(F.col("is_edge") == 0)
-            .select("bsuff", "bid", "bfirst")
-            .collect()
-        )
-        # bfirst=1 rows are partition minima; order boundary rows in global
-        # suffix order: by (suff, then first-before-last on ties).
-        bnd.sort(key=lambda row: (bytes(row.bsuff), -row.bfirst))
-        extra = []
-        for a, b in zip(bnd, bnd[1:]):
-            # only the last-of-one-partition -> first-of-next adjacency is
-            # missing from the interior scans
-            if a.bfirst == 0 and b.bfirst == 1:
-                lcp = _pairwise_lcp([bytes(a.bsuff), bytes(b.bsuff)], min_len)
-                if len(lcp) and lcp[0] >= min_len and a.bid != b.bid:
-                    extra.append(
-                        (min(a.bid, b.bid), max(a.bid, b.bid), int(lcp[0]))
-                    )
-        if extra:
-            spark = docs.sparkSession
-            edges = edges.unionByName(
-                spark.createDataFrame(
-                    extra,
-                    StructType(
-                        [
-                            StructField("left", LongType(), False),
-                            StructField("right", LongType(), False),
-                            StructField("span", IntegerType(), False),
-                        ]
-                    ),
-                )
-            )
-        out = (
-            edges.groupBy("left", "right")
-            .agg(F.max("span").alias("span"))
-            .localCheckpoint()
-        )
-    finally:
-        scanned.unpersist()
-    return out
+    edges = sorted_suff.mapInPandas(scan, _EDGE_SCHEMA)
+    return (
+        edges.groupBy("left", "right")
+        .agg(F.max("span").alias("span"))
+        .localCheckpoint()
+    )
 
 
 def suffix_array_dedup(

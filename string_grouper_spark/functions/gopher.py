@@ -154,15 +154,25 @@ def gopher_filter(
         .drop("_s")
     )
 
-    rep = repetition_stats(df, text_col=text_col, id_col=id_col, line_sep=line_sep)
+    # passthrough=True: the repetition pass carries the document row (and
+    # the screen columns) straight through its map stage, so the stats are
+    # attached with NO join — the previous ``base.join(rep, id)`` shuffled
+    # the full document payload by id twice just to meet 11 doubles
+    # computed from that same payload.  The whole gate is now two chained
+    # narrow Python passes (ArrowEvalPython screens + MapInPandas stats).
     rep_cols = [
         "dup_line_frac", "dup_line_char_frac",
         "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
         "dup_5gram_char_frac", "dup_6gram_char_frac", "dup_7gram_char_frac",
         "dup_8gram_char_frac", "dup_9gram_char_frac", "dup_10gram_char_frac",
     ]
-    joined = base.join(
-        rep.select(id_col, *rep_cols), id_col, "left"
+    joined = repetition_stats(
+        base, text_col=text_col, id_col=id_col, line_sep=line_sep,
+        passthrough=True,
+    ).select(
+        # replicate the former join's column order exactly: join key first,
+        # then the remaining document/screen columns, then the stat columns
+        id_col, *[c for c in base.columns if c != id_col], *rep_cols
     )
 
     def _flag(cond, name):

@@ -121,12 +121,148 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", F.round(score, 2)).drop("_wnorm")
 
 
+def _repetition_stats_fast(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    line_sep: str,
+    top_ns,
+    dup_ns,
+    passthrough: bool,
+) -> DataFrame:
+    """The one-pass fast engine behind ``repetition_stats`` (see its
+    docstring): ONE ``mapInPandas`` row per doc carrying exact integer
+    line stats plus per-order gram stats as 9-element arrays (null element
+    where the doc has fewer words than the order, mirroring the catalyst
+    pivot's missing-row null), all divisions/rounding left in Spark for
+    bit parity with the relational engine."""
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    all_ns = tuple(top_ns) + tuple(dup_ns)
+    word_re = re.compile(r"\s+")
+    sep = line_sep
+    stat_names = (
+        "_n_lines", "_n_distinct", "_dup_chars", "_tot_chars",
+        "_top_cnt", "_top_l", "_tot_ch", "_dup_ch", "_n_grams",
+    )
+    in_df = df if passthrough else df.select(id_col, text_col)
+    clash = set(stat_names) & set(in_df.columns)
+    if clash:
+        raise ValueError(f"passthrough column(s) {sorted(clash)} collide "
+                         "with repetition_stats internals")
+    schema = StructType(
+        list(in_df.schema.fields)
+        + [StructField(n, LongType(), True) for n in stat_names[:4]]
+        + [StructField(n, ArrayType(LongType()), True) for n in stat_names[4:]]
+    )
+
+    def _doc_stats(batches):
+        for pdf in batches:
+            out = {n: [] for n in stat_names}
+            for text in pdf[text_col]:
+                t = text if isinstance(text, str) else ""
+                # line stats: literal split, single-space trim, char
+                # lengths — the exact F.split/F.trim/F.length semantics of
+                # the catalyst line leg (NULL text == no lines)
+                lc = Counter(
+                    ln for ln in (x.strip(" ") for x in t.split(sep)) if ln
+                )
+                n_lines = sum(lc.values())
+                out["_n_lines"].append(n_lines)
+                out["_n_distinct"].append(len(lc))
+                out["_dup_chars"].append(
+                    sum((c - 1) * len(l) for l, c in lc.items())
+                )
+                out["_tot_chars"].append(
+                    sum(c * len(l) for l, c in lc.items())
+                )
+                ws = [w for w in word_re.split(t) if w]
+                L = len(ws)
+                cols = {n: [] for n in stat_names[4:]}
+                for n in all_ns:
+                    if L < n:
+                        for c in cols.values():
+                            c.append(None)
+                        continue
+                    counts = Counter(
+                        " ".join(ws[i : i + n]) for i in range(L - n + 1)
+                    )
+                    top_key, tot, dup, ng = None, 0, 0, 0
+                    for g, c in counts.items():
+                        gl = len(g)
+                        tot += c * gl
+                        ng += c
+                        if c > 1:
+                            dup += c * gl
+                        # (count, char len, utf-8 bytes): Spark's
+                        # max(struct(cnt, len, gram)) under binary string
+                        # order, exactly
+                        key = (c, gl, g.encode("utf-8"))
+                        if top_key is None or key > top_key:
+                            top_key = key
+                    cols["_top_cnt"].append(top_key[0])
+                    cols["_top_l"].append(top_key[1])
+                    cols["_tot_ch"].append(tot)
+                    cols["_dup_ch"].append(dup)
+                    cols["_n_grams"].append(ng)
+                for n in stat_names[4:]:
+                    out[n].append(cols[n])
+            res = pdf.copy()
+            for n in stat_names:
+                res[n] = pd.Series(out[n], index=pdf.index, dtype=object)
+            yield res
+
+    stats = in_df.mapInPandas(_doc_stats, schema)
+
+    def ea(col, n):  # 1-based element_at by gram order
+        return F.element_at(col, all_ns.index(n) + 1)
+
+    prefix = (
+        [F.col(c) for c in df.columns] if passthrough else [F.col(id_col)]
+    )
+    return stats.select(
+        *prefix,
+        F.col("_n_lines").alias("n_lines"),
+        F.round(
+            F.when(
+                F.col("_n_lines") > 0,
+                (F.col("_n_lines") - F.col("_n_distinct")) / F.col("_n_lines"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(
+                F.col("_tot_chars") > 0,
+                F.col("_dup_chars") / F.col("_tot_chars"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_char_frac"),
+        F.round(ea("_top_cnt", 2) / ea("_n_grams", 2), 6).alias("top_bigram_frac"),
+        *[
+            F.round(
+                ea("_top_cnt", n) * ea("_top_l", n) / ea("_tot_ch", n), 6
+            ).alias(f"top_{n}gram_char_frac")
+            for n in top_ns
+        ],
+        *[
+            F.round(ea("_dup_ch", n) / ea("_tot_ch", n), 6).alias(
+                f"dup_{n}gram_char_frac"
+            )
+            for n in dup_ns
+        ],
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     line_sep: str = "\n",
     engine: str = "fast",
+    passthrough: bool = False,
 ) -> DataFrame:
     """Gopher-style repetition features per doc (Rae et al. 2021's
     repetitious-text filters, the standard webtext quality gate):
@@ -169,23 +305,39 @@ def repetition_stats(
     join-back on ``df`` ids.  All fractions round to 6dp so an independent
     SQL engine hash-matches.
 
-    ``engine='fast'`` (default): the per-(doc, n) gram statistics come from
-    ONE narrow ``mapInPandas`` pass — a per-doc ``Counter`` emits exact
-    INTEGER stats (top count / top length / total chars / dup chars /
-    occurrence count), with every division and 6dp round left in Spark so
-    values are bit-identical to ``engine='catalyst'``.  The catalyst
-    engine's gram generator (``transform`` + ``slice`` + ``array_join``
-    per position per order) is INTERPRETED and measured ~40 s at sf0.1
-    once all columns materialize (interpreted-HOF kill #7); the fast pass
-    also removes the (doc, n, gram) shuffle entirely — gram counting never
-    leaves the executor that holds the doc, which at 100 TB is the
-    difference between a map pass and a corpus-sized exchange.  The
-    tie-break compares UTF-8 BYTES, matching Spark's and DuckDB's binary
-    string order.  Cross-doc aggregation never happens in either engine,
-    so there is no skew key to salt.
+    ``engine='fast'`` (default): ALL statistics — line repeats AND every
+    gram order — come from ONE narrow ``mapInPandas`` pass emitting ONE
+    wide row of exact INTEGER stats per doc, with every division and 6dp
+    round left in Spark so values are bit-identical to
+    ``engine='catalyst'``.  The whole operator is a map: zero shuffles,
+    zero joins (the catalyst shape pays a line explode+agg, a gram
+    explode+agg, a pivot and two joins — at 100 TB those are corpus-sized
+    exchanges; gram/line counting here never leaves the executor that
+    holds the doc).  The catalyst engine's gram generator (``transform`` +
+    ``slice`` + ``array_join`` per position per order) is additionally
+    INTERPRETED and measured ~40 s at sf0.1 once all columns materialize
+    (interpreted-HOF kill #7).  The tie-break compares UTF-8 BYTES,
+    matching Spark's and DuckDB's binary string order.  Cross-doc
+    aggregation never happens in either engine, so there is no skew key
+    to salt.
+
+    ``passthrough=True`` (fast engine only): every input column rides
+    through the stats pass and the output keeps them ahead of the stat
+    columns — composition (``gopher_filter``) attaches per-doc stats to a
+    wide document row WITHOUT a join, so the document payload is never
+    shuffled just to meet its own statistics (the move-heavy-rows-once
+    rule).
     """
     if engine not in ("fast", "catalyst"):
         raise ValueError(f"unknown engine {engine!r}")
+    if passthrough and engine != "fast":
+        raise ValueError("passthrough requires engine='fast'")
+    top_ns, dup_ns = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+    all_ns = top_ns + dup_ns
+    if engine == "fast":
+        return _repetition_stats_fast(
+            df, text_col, id_col, line_sep, top_ns, dup_ns, passthrough
+        )
     ids = df.select(id_col)
     lines = df.select(
         id_col,
@@ -208,65 +360,7 @@ def repetition_stats(
         F.sum((F.col("_cnt") - 1) * F.length("_line")).alias("_dup_chars"),
         F.sum(F.col("_cnt") * F.length("_line")).alias("_tot_chars"),
     )
-
-    top_ns, dup_ns = (2, 3, 4), (5, 6, 7, 8, 9, 10)
-    all_ns = top_ns + dup_ns
-    if engine == "fast":
-        id_type = dict(df.dtypes)[id_col]
-        stats_schema = (
-            f"{id_col} {id_type}, _n int, _top_cnt bigint, _top_l int,"
-            " _tot_ch bigint, _dup_ch bigint, _n_grams bigint"
-        )
-        word_re = re.compile(r"\s+")
-
-        def _gram_stats(batches):
-            import pandas as pd
-            from collections import Counter
-
-            for pdf in batches:
-                rows = []
-                for did, text in zip(pdf[id_col], pdf[text_col]):
-                    ws = [w for w in word_re.split(text or "") if w]
-                    L = len(ws)
-                    for n in all_ns:
-                        if L < n:
-                            continue
-                        counts = Counter(
-                            " ".join(ws[i : i + n]) for i in range(L - n + 1)
-                        )
-                        top_key, tot, dup, ng = None, 0, 0, 0
-                        for g, c in counts.items():
-                            gl = len(g)
-                            tot += c * gl
-                            ng += c
-                            if c > 1:
-                                dup += c * gl
-                            # (count, char len, utf-8 bytes): Spark's
-                            # max(struct(cnt, len, gram)) under binary
-                            # string order, exactly
-                            key = (c, gl, g.encode("utf-8"))
-                            if top_key is None or key > top_key:
-                                top_key = key
-                        rows.append((did, n, top_key[0], top_key[1], tot, dup, ng))
-                yield pd.DataFrame(
-                    rows,
-                    columns=[
-                        id_col, "_n", "_top_cnt", "_top_l", "_tot_ch",
-                        "_dup_ch", "_n_grams",
-                    ],
-                )
-
-        gram_stats = df.select(id_col, text_col).mapInPandas(
-            _gram_stats, stats_schema
-        )
-        per_n = gram_stats.select(
-            id_col,
-            "_n",
-            F.round(F.col("_top_cnt") / F.col("_n_grams"), 6).alias("_count_frac"),
-            F.round(F.col("_top_cnt") * F.col("_top_l") / F.col("_tot_ch"), 6).alias("_top_frac"),
-            F.round(F.col("_dup_ch") / F.col("_tot_ch"), 6).alias("_dup_frac"),
-        )
-    else:
+    if engine == "catalyst":  # always true here; keeps the reference shape scoped
         words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
         # ONE explode carries every n: (doc, n, gram) rows for n-grams of all
         # the orders the Gopher family needs

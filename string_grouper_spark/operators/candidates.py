@@ -770,6 +770,15 @@ def hamming_ball_pairs(
             )
         ).alias("bk"),
     ).select(DOC, "_sig", F.col("bk.blk").alias("band"), F.col("bk.key").alias("key"))
+    # The block table has THREE downstream consumers (the hot-key count
+    # agg, the join's left side, the join's right side) and nothing
+    # upstream is cached — without a materialization fence the signature
+    # kernel upstream re-runs once per consumer (the plan showed FOUR
+    # MapInPandas evaluations of the same pass).  Checkpoint the slim
+    # (doc, sig, band, key) table lazily: one signature pass total, blocks
+    # reclaimed with the RDD.  num_blocks rows per doc of four fixed-width
+    # columns — bounded, far cheaper than 3 extra corpus passes at scale.
+    blocks = blocks.localCheckpoint(eager=False)
     # cap via count-agg + anti-join (capped_buckets): a hot block key —
     # e.g. the all-zero block of short/boilerplate docs (or flat images) —
     # would land every member in one task, and AQE can split joins but not

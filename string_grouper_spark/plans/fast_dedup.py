@@ -647,12 +647,15 @@ class PrefitLshMatcher:
         id_col: str = "doc_id",
         shingle: str = "char",
         shingle_words: int = 5,
+        compact_every: int = 16,
     ):
         self.cfg = cfg or MatchConfig()
         self.num_perm, self.num_bands = num_perm, num_bands
         self.max_bucket_size = max_bucket_size
         self.text_col, self.id_col = text_col, id_col
         self.shingle, self.shingle_words = shingle, shingle_words
+        self.compact_every = compact_every
+        self._extend_count = 0
         spark = corpus.sparkSession
         n = corpus.count()
         terms = doc_term_arrays(
@@ -778,11 +781,51 @@ class PrefitLshMatcher:
         capped independently — a bucket can reach ``max_bucket_size`` per
         piece, the same per-side contract as the bipartite plan.  Caller
         contract: batch ids are new (streamed ids never collide with corpus
-        ids); duplicate ids would double-count in downstream joins."""
+        ids); duplicate ids would double-count in downstream joins — the
+        contract is enforced fail-loud at each compaction (below).
+
+        Growth bound: a week-long stream at 1-minute triggers would stack
+        ~10k union nodes into the lazy views — Catalyst analysis time and
+        the number of live cached fragments would grow O(n_batches).  Every
+        ``compact_every`` extensions both views are collapsed into ONE
+        eagerly localCheckpoint-ed frame each (row-identical: the bucket
+        rows keep their per-piece caps, so ``match`` results are unchanged
+        by compaction) and the superseded fragments are released — plan
+        depth and live-cache count stay O(compact_every) for any stream
+        length, at an amortized O(corpus / compact_every) re-materialize
+        per batch."""
         self.corpus_vecs = self.corpus_vecs.unionByName(vecs_b)
         self._corpus_buckets = self._corpus_buckets.unionByName(
             self._buckets(vecs_b)
         )
+        self._extend_count += 1
+        if self.compact_every and self._extend_count % self.compact_every == 0:
+            self._compact()
+
+    def _compact(self) -> None:
+        """Collapse the unioned extension pieces into one checkpointed
+        frame per view and enforce the new-ids contract (count vs
+        count-distinct over the compacted ids — an id collision between
+        corpus and any absorbed batch raises here instead of silently
+        double-counting in every later join)."""
+        vecs = self.corpus_vecs.localCheckpoint(eager=True)
+        buckets = self._corpus_buckets.localCheckpoint(eager=True)
+        row = vecs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("nd"),
+        ).first()
+        if row["nd"] < row["n"]:
+            raise ValueError(
+                f"extend() absorbed duplicate doc ids ({row['n']} rows, "
+                f"{row['nd']} distinct): streamed batch ids must be new — "
+                "re-delivered or corpus-colliding batches would double-count"
+            )
+        # release the fit-time cache entry (the checkpoint now holds every
+        # row); extension-piece checkpoints are reclaimed with their RDDs
+        # once the old views are dropped
+        self._base_vecs.unpersist()
+        self.corpus_vecs = self._base_vecs = vecs
+        self._corpus_buckets = buckets
 
     def save(self, path: str) -> None:
         """Persist the frozen index to ``path`` (parquet + one json meta

@@ -46,6 +46,24 @@ def get_spark(
         .config("spark.locality.wait", "0s")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # join strategy: prefer shuffled-hash over sort-merge when the
+        # planner's size checks allow it, and let AQE rewrite SMJ->SHJ when
+        # every post-shuffle partition is under 128 MB.  The engine's
+        # dominant joins attach packed array columns (codes/ws vectors) to
+        # slim id pairs — hashing the bounded side beats sorting array-heavy
+        # rows (guide: sort-merge always works but is slowest; measured ~10%
+        # on the flagship re-score at sf0.1).  Scale-safe: both paths fall
+        # back to sort-merge when the per-partition build side could exceed
+        # the threshold, so no local-only assumption is baked in.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m"
+        )
+        # every LIMIT in the engine is a cap-guard (e.g. the bounded-vocab
+        # IDF collect) that nearly always needs EVERY partition: start the
+        # limit scan at the full shuffle width instead of 1-partition
+        # incremental probing (1 -> 4 -> 16 ... sequential mini-jobs)
+        .config("spark.sql.limit.initialNumPartitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bound each Arrow batch: packed-posting rows carry ~10KB of arrays,
         # so the default 10k-row batches would hold ~100MB per python worker

@@ -371,3 +371,69 @@ def test_prefit_matcher_save_load_identical_matches(spark, tmp_path):
     import numpy as np
 
     assert np.allclose(w.similarity.to_numpy(), g.similarity.to_numpy())
+
+
+def test_prefit_matcher_extend_compaction_bounded_and_identical(spark):
+    # many-batch extension: (a) compaction keeps the corpus-vector view's
+    # plan depth BOUNDED (no O(n_batches) union stack), (b) match results
+    # are identical with and without compaction, (c) the new-ids contract
+    # raises fail-loud at compaction instead of silently double-counting
+    import pytest
+    from pyspark.sql import functions as F
+
+    from string_grouper_spark.config import MatchConfig
+    from string_grouper_spark.plans.fast_dedup import PrefitLshMatcher
+    from string_grouper_spark.sources.pages import generate_pages
+
+    docs = generate_pages(spark, 80, seed=52).select(
+        F.col("page_id").alias("doc_id"), "text"
+    )
+    corpus = docs.where(F.col("doc_id") < 30)
+    cfg = MatchConfig(min_similarity=0.5, max_n_matches=1_000_000)
+    query = docs.where(F.col("doc_id") >= 72).select(
+        (F.col("doc_id") + 9000).alias("doc_id"), "text"
+    )
+
+    def batches():
+        for i in range(7):
+            lo, hi = 30 + 6 * i, 36 + 6 * i
+            yield docs.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).select((F.col("doc_id") + 1000 * (i + 1)).alias("doc_id"), "text")
+
+    m_comp = PrefitLshMatcher(corpus, cfg, num_perm=64, num_bands=32,
+                              max_bucket_size=None, compact_every=3)
+    m_none = PrefitLshMatcher(corpus, cfg, num_perm=64, num_bands=32,
+                              max_bucket_size=None, compact_every=0)
+    for b in batches():
+        m_comp.extend(b)
+        m_none.extend(b)
+    assert m_comp._extend_count == 7  # 2 compactions happened (at 3 and 6)
+
+    # (a) bounded plan: the compacted view is one checkpoint scan plus at
+    # most compact_every-1 unioned pieces (each a LogicalRDD leaf), however
+    # many batches ran; the uncompacted control accumulates one leaf per
+    # batch (Spark flattens adjacent Unions, so count LEAVES, not Unions)
+    n_leaf = m_comp.corpus_vecs._jdf.queryExecution().analyzed().toString().count("LogicalRDD")
+    n_leaf_ctl = m_none.corpus_vecs._jdf.queryExecution().analyzed().toString().count("LogicalRDD")
+    assert n_leaf_ctl == 7  # one per extension piece
+    assert n_leaf <= m_comp.compact_every  # checkpoint + pieces since last compact
+
+    # (b) identical matches (pairs AND scores) with and without compaction
+    key = ["master_side", "dupe_side"]
+    want = m_none.match(query, self_pairs=True).toPandas().sort_values(key).reset_index(drop=True)
+    got = m_comp.match(query, self_pairs=True).toPandas().sort_values(key).reset_index(drop=True)
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(want, got)
+
+    # (c) a re-delivered batch (same ids as extension batch 0: docs 30-35
+    # shifted by +1000) collides fail-loud at the next compaction
+    dup = docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 33)).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    m_comp.extend(dup)  # 8th extend: no compaction yet, absorbed silently
+    with pytest.raises(ValueError, match="duplicate doc ids"):
+        m_comp.extend(
+            dup.select((F.col("doc_id") + 8000).alias("doc_id"), "text")
+        )  # 9th extend -> compaction -> collision from the re-delivered ids
+    m_none.unpersist()

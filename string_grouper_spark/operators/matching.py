@@ -62,7 +62,12 @@ def match_edges(
         assume_ascii=assume_ascii,
     )
     if self_join:
-        m_post = m_post.persist()
+        # lazy localCheckpoint, not persist(): the postings have multiple
+        # consumers (join sides + diagonal), but no caller can unpersist a
+        # lazily-consumed result — persist() leaked one CacheManager entry
+        # per match_edges call for the session lifetime; checkpoint blocks
+        # are reclaimed with the RDD when the result is dropped
+        m_post = m_post.localCheckpoint(eager=False)
         if cfg.candidate_max_df_ratio is not None:
             # stop-gram guard (config.candidate_max_df_ratio): grams hotter
             # than the ratio are excluded from CANDIDATE GENERATION only;

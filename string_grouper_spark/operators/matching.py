@@ -62,12 +62,15 @@ def match_edges(
         assume_ascii=assume_ascii,
     )
     if self_join:
-        # lazy localCheckpoint, not persist(): the postings have multiple
-        # consumers (join sides + diagonal), but no caller can unpersist a
-        # lazily-consumed result — persist() leaked one CacheManager entry
-        # per match_edges call for the session lifetime; checkpoint blocks
-        # are reclaimed with the RDD when the result is dropped
-        m_post = m_post.localCheckpoint(eager=False)
+        # persist(), deliberately NOT localCheckpoint: the checkpoint's
+        # ExistingRDD scan was measured 5x slower end-to-end here (the
+        # exploded posting rows pay an InternalRow round-trip per consumer
+        # and the downstream gram join loses the columnar cache scan),
+        # while the cache entry costs one postings table per call until
+        # the session drops it — acceptable for the exact/small path this
+        # serves, and the caller can spark.catalog.clearCache() between
+        # corpora if needed
+        m_post = m_post.persist()
         if cfg.candidate_max_df_ratio is not None:
             # stop-gram guard (config.candidate_max_df_ratio): grams hotter
             # than the ratio are excluded from CANDIDATE GENERATION only;

@@ -105,12 +105,22 @@ def _parse_stsd_entry(data: bytes, start: int, end: int, handler: str):
     return out
 
 
+# spec-realistic trees are < 10 deep; 32 bounds adversarial nesting
+_MAX_PROBE_DEPTH = 32
+
+
 def probe_mp4(payload: bytes) -> dict:
     """Walk the ISO BMFF box tree; returns container/brand/duration/tracks."""
     n = len(payload)
     info: dict = {"container": "mp4", "brand": None, "duration_s": None, "tracks": []}
 
-    def walk(start: int, end: int, track: Optional[dict]) -> None:
+    def walk(start: int, end: int, track: Optional[dict], depth: int = 0) -> None:
+        # crawled payloads are adversarial: a crafted few-KB file of nested
+        # container boxes must raise a caught ValueError, not RecursionError
+        # (which would escape media_metadata's except tuple and fail the task)
+        if depth > _MAX_PROBE_DEPTH:
+            raise ValueError("BMFF box tree nested deeper than "
+                             f"{_MAX_PROBE_DEPTH} levels")
         for btype, b0, b1 in _iter_boxes(payload, start, end):
             if btype == b"ftyp":
                 info["brand"] = payload[b0 : b0 + 4].decode("latin-1")
@@ -123,7 +133,7 @@ def probe_mp4(payload: bytes) -> dict:
                     "sample_rate": None, "channels": None,
                 }
                 info["tracks"].append(t)
-                walk(b0, b1, t)
+                walk(b0, b1, t, depth + 1)
             elif btype == b"mdhd" and track is not None:
                 ts, dur = _parse_mdhd(payload, b0, b1)
                 track["duration_s"] = dur / ts if ts else None
@@ -149,7 +159,7 @@ def probe_mp4(payload: bytes) -> dict:
                 _, p = _full_box(payload, b0)
                 track["n_samples"] = struct.unpack_from(">I", payload, p + 4)[0]
             elif btype in _BMFF_CONTAINERS:
-                walk(b0, b1, track)
+                walk(b0, b1, track, depth + 1)
 
     walk(0, n, None)
     for t in info["tracks"]:
@@ -226,7 +236,10 @@ def probe_mkv(payload: bytes) -> dict:
     scale = [1_000_000]  # TimestampScale default: 1 ms in ns
     raw_duration = [None]
 
-    def walk(start: int, end: int, track: Optional[dict]) -> None:
+    def walk(start: int, end: int, track: Optional[dict], depth: int = 0) -> None:
+        if depth > _MAX_PROBE_DEPTH:  # see probe_mp4: adversarial nesting
+            raise ValueError("EBML tree nested deeper than "
+                             f"{_MAX_PROBE_DEPTH} levels")
         pos = start
         while pos < end:
             eid, p = _read_vint(payload, pos, strip_marker=False)
@@ -252,7 +265,7 @@ def probe_mkv(payload: bytes) -> dict:
                     "sample_rate": None, "channels": None,
                 }
                 info["tracks"].append(t)
-                walk(body, b1, t)
+                walk(body, b1, t, depth + 1)
             elif eid == _E_TRACK_TYPE and track is not None:
                 track["kind"] = {1: "video", 2: "audio", 17: "subtitle"}.get(
                     _ebml_uint(payload, body, b1), "other"
@@ -268,7 +281,7 @@ def probe_mkv(payload: bytes) -> dict:
             elif eid == _E_CHANNELS and track is not None:
                 track["channels"] = _ebml_uint(payload, body, b1)
             elif eid in _EBML_MASTERS:
-                walk(body, b1, track)
+                walk(body, b1, track, depth + 1)
             pos = b1
 
     walk(0, len(payload), None)
@@ -289,11 +302,14 @@ def probe_avi(payload: bytes) -> dict:
     info: dict = {"container": "avi", "brand": None, "duration_s": None, "tracks": []}
     us_per_frame = [None]
 
-    def walk(start: int, end: int) -> None:
+    def walk(start: int, end: int, depth: int = 0) -> None:
+        if depth > _MAX_PROBE_DEPTH:  # see probe_mp4: adversarial nesting
+            raise ValueError("RIFF LIST tree nested deeper than "
+                             f"{_MAX_PROBE_DEPTH} levels")
         for fourcc, b0, sz in _riff_chunks(payload, start, end):
             b1 = b0 + sz
             if fourcc == b"LIST":
-                walk(b0 + 4, b1)
+                walk(b0 + 4, b1, depth + 1)
             elif fourcc == b"avih":
                 us_per_frame[0] = struct.unpack_from("<I", payload, b0)[0]
             elif fourcc == b"strh":

@@ -159,12 +159,16 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
-_HASH_SCHEMA = StructType(
-    [
-        StructField("media_id", LongType(), False),
-        StructField("img_hash", LongType(), True),
-    ]
-)
+def _hash_schema(id_type) -> StructType:
+    # the output id column is always named media_id, but its TYPE follows
+    # the input id column — a string id (this repo's natural url key)
+    # previously hit an Arrow cast error against a hard-coded LongType
+    return StructType(
+        [
+            StructField("media_id", id_type, False),
+            StructField("img_hash", LongType(), True),
+        ]
+    )
 
 
 def image_hashes(
@@ -212,15 +216,15 @@ def image_hashes(
                     # fraction of crawled images is ALWAYS corrupt, so
                     # they yield a NULL hash instead of failing the scan
                     h = None
-                ids.append(getattr(row, id_col))
                 hashes.append(h)
-            yield pd.DataFrame({"media_id": ids, "img_hash": hashes})
+            yield pd.DataFrame({"media_id": pdf[id_col], "img_hash": hashes})
 
     cols = [F.col(id_col), F.col(payload_col).alias("payload")]
     for opt in ("width", "height"):
         if opt in media.columns:
             cols.append(F.col(opt))
-    return media.select(*cols).mapInPandas(run, _HASH_SCHEMA)
+    id_type = media.schema[id_col].dataType
+    return media.select(*cols).mapInPandas(run, _hash_schema(id_type))
 
 
 def image_near_dup_pairs(

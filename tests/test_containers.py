@@ -251,3 +251,24 @@ def test_media_metadata_truncated_headers_land_in_err(spark):
     assert out.loc[0, "err"] is not None and "IndexError" in out.loc[0, "err"]
     assert out.loc[2, "err"] is None or pd.isna(out.loc[2, "err"])
     assert out.loc[2, "container"] == "mp4"
+
+
+def test_probe_depth_guard_on_adversarial_nesting():
+    # a crafted few-KB payload of deeply nested master elements must land in
+    # a caught error, never a RecursionError that would kill the whole task
+    import pytest
+
+    # MKV: 200 nested TrackEntry masters
+    body = el(C._E_CODEC_ID, b"V_X")
+    for _ in range(200):
+        body = el(C._E_TRACK_ENTRY, body)
+    payload = C._EBML_MAGIC + _esize(0) + body
+    with pytest.raises(ValueError, match="nested deeper"):
+        C.probe_mkv(payload)
+
+    # MP4: 200 nested moov containers
+    b = box(b"mvhd", b"\x00" * 100)
+    for _ in range(200):
+        b = box(b"moov", b)
+    with pytest.raises(ValueError, match="nested deeper"):
+        C.probe_mp4(b"\x00" * 0 + b)

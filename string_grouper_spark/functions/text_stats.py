@@ -153,8 +153,14 @@ def _repetition_stats_fast(
     if clash:
         raise ValueError(f"passthrough column(s) {sorted(clash)} collide "
                          "with repetition_stats internals")
+    # without passthrough, only the id rides back out of Python — shipping
+    # the text column both ways just to drop it would double the Arrow
+    # transfer of the widest column
+    out_fields = (
+        list(in_df.schema.fields) if passthrough else [in_df.schema[id_col]]
+    )
     schema = StructType(
-        list(in_df.schema.fields)
+        out_fields
         + [StructField(n, LongType(), True) for n in stat_names[:4]]
         + [StructField(n, ArrayType(LongType()), True) for n in stat_names[4:]]
     )
@@ -210,7 +216,7 @@ def _repetition_stats_fast(
                     cols["_n_grams"].append(ng)
                 for n in stat_names[4:]:
                     out[n].append(cols[n])
-            res = pdf.copy()
+            res = pdf.copy() if passthrough else pdf[[id_col]].copy()
             for n in stat_names:
                 res[n] = pd.Series(out[n], index=pdf.index, dtype=object)
             yield res

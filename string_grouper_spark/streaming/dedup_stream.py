@@ -260,6 +260,23 @@ def streaming_incremental_dedup(
     join + packed re-score.  ``foreachBatch`` is the right operator here
     (not a stream-stream join): the corpus is a static, pre-fitted side,
     and the per-batch output is a bounded append.
+
+    Restart / delivery caveats (the completeness claim's boundary):
+
+      * ``extend_corpus`` state lives in DRIVER memory.  A query restart
+        from the streaming checkpoint resumes the SOURCE offsets but not
+        the absorbed batches — pairs whose earlier member was absorbed
+        before the crash are lost unless the matcher is also persisted:
+        call ``matcher.save(path)`` periodically (e.g. from this
+        ``process`` hook every K batches) and reconstruct via
+        ``PrefitLshMatcher.load`` before restarting the query.
+      * ``foreachBatch`` is at-least-once: a re-delivered batch re-appends
+        its matches (dedupe downstream on (batch_id, pair)) and would
+        double-extend the index; the matcher's per-compaction id check
+        (``extend_vecs``) turns silent double-counting into a loud error.
+      * The matcher compacts its union views every ``compact_every``
+        batches, so plan depth and cached fragments stay bounded over an
+        unbounded stream (see ``PrefitLshMatcher.extend_vecs``).
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

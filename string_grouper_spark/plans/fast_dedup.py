@@ -193,7 +193,13 @@ def doc_term_arrays(
                 if shingle == "word":
                     scodes_col.append(_word_shingle_codes(t, cfg, shingle_words))
                 else:
-                    scodes_col.append(c)
+                    # char shingles: the MinHash shingle set IS the gram-code
+                    # set.  Store NULL instead of a second copy — scodes is
+                    # int64 where codes is int32 (ngram_size <= 3), so the
+                    # duplicate was HALF the terms-row bytes through the
+                    # Arrow boundary and the terms cache; doc_vectors bands
+                    # from the codes column when scodes is NULL.
+                    scodes_col.append(None)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -285,6 +291,7 @@ def doc_vectors(
                         bands_col.append(None)
                         continue
                     c = np.asarray(codes, dtype=np.int64)
+                    raw_codes = c  # pre-mask: char-shingle banding source
                     t = np.asarray(tfs, dtype=np.float64)
                     idx = np.searchsorted(vocab_codes, c)
                     # grams outside the fitted vocabulary are DROPPED —
@@ -304,6 +311,12 @@ def doc_vectors(
                     w /= np.sqrt((w * w).sum())
                     codes_col.append(c.astype(out_dtype))
                     ws_col.append(w.astype(w_dtype, copy=False))
+                    # NULL scodes = char shingles (the shingle set IS the
+                    # raw gram-code set, stored once — see doc_term_arrays);
+                    # banding uses the PRE-mask codes, exactly what the
+                    # duplicated scodes column carried before
+                    if scodes is None and shingle == "char":
+                        scodes = raw_codes
                     if scodes is None or len(scodes) == 0:
                         bands_col.append(None)
                         continue

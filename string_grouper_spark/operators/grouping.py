@@ -95,9 +95,18 @@ def connected_components(
     become singleton components.  Component id = min node id in component.
     """
     ec = edges.columns
+    # LAZY localCheckpoint: the star-forest check below always runs a
+    # full-aggregation job over ``cur`` immediately after each (re)assign,
+    # which materializes the checkpoint as a side effect of that job's map
+    # stage — an eager checkpoint would run a SEPARATE materialization pass
+    # first and the check would re-read the blocks (one extra pass over the
+    # edge set per round).  The loop can only exit through a check on the
+    # final ``cur`` (or raise), so the returned label plan always reads
+    # fully-materialized checkpoint blocks — callers may release upstream
+    # caches as soon as connected_components returns, exactly as before.
     cur = _canonical_undirected(
         edges.select(F.col(ec[0]).alias("u"), F.col(ec[1]).alias("v"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     # converged the moment the edges are a disjoint star forest (checked
     # BEFORE each round too: an already-star input pays no round at all);
@@ -105,7 +114,7 @@ def connected_components(
     for _ in range(max_iterations + 1):
         if _is_star_forest(cur):
             break
-        cur = _small_star(_large_star(cur)).localCheckpoint()
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
 

@@ -1043,10 +1043,14 @@ def substring_containment(
         .select(DOC, "norm", winnow(F.col("norm")).alias("fp"))
         .localCheckpoint(eager=False)
     )
-    # anchors: winnowing fingerprints (distinct sliding minima) of inner docs
+    # anchors: winnowing fingerprints (distinct sliding minima) of inner
+    # docs — SLIM (id, hash) rows only.  Carrying inner_norm here would
+    # ship ~len(norm)/stride copies of every doc's full text through the
+    # fingerprint join and the candidate dedup (the heavy-payload-shuffled-
+    # twice anti-pattern); instead the norm is attached ONCE per deduped
+    # candidate pair from the checkpointed fps below.
     anchors = fps.select(
         F.col(DOC).alias("inner_id"),
-        F.col("norm").alias("inner_norm"),
         F.explode("fp.anchors").alias("wh"),
     )
     # index: one min-hash per aligned stripe of w window positions
@@ -1057,16 +1061,23 @@ def substring_containment(
     cand = (
         anchors.join(index, "wh")
         .where(F.col("inner_id") != F.col("outer_id"))
-        .select("inner_id", "outer_id", "inner_norm")
+        .select("inner_id", "outer_id")
         .dropDuplicates(["inner_id", "outer_id"])
     )
-    # every candidate's outer_id comes from the stripe index, which only
-    # holds >= anchor_len docs — so joining the checkpointed fps (instead
-    # of a separate full-norm table) verifies the same candidate set
-    verified = cand.join(
-        fps.select(F.col(DOC).alias("outer_id"), F.col("norm").alias("outer_norm")),
-        "outer_id",
-    ).where(F.expr("locate(inner_norm, outer_norm) > 0"))
+    # both sides of every candidate come from fps (>= anchor_len docs), so
+    # attaching norms from the one checkpointed frame verifies exactly the
+    # candidate set the fingerprint join proposed
+    verified = (
+        cand.join(
+            fps.select(F.col(DOC).alias("inner_id"), F.col("norm").alias("inner_norm")),
+            "inner_id",
+        )
+        .join(
+            fps.select(F.col(DOC).alias("outer_id"), F.col("norm").alias("outer_norm")),
+            "outer_id",
+        )
+        .where(F.expr("locate(inner_norm, outer_norm) > 0"))
+    )
     return verified.select("inner_id", "outer_id")
 
 
@@ -1128,10 +1139,17 @@ def substring_containment_bipartite(
                 "%d benchmark item(s) shorter than anchor_len=%d after "
                 "normalization are NOT searched for", n_skip, anchor_len
             )
+    # searchable inner docs, checkpointed (lazy) for the anchor pass AND
+    # the verify-time norm attach — the anchor explode itself stays SLIM
+    # (id, hash): shipping inner_norm on every anchor row would move
+    # ~len/stride copies of each benchmark item through the fingerprint
+    # join; the norm is attached once per deduped candidate pair instead.
+    searchable = inner_norm.where(
+        F.length("inner_norm") >= anchor_len
+    ).localCheckpoint(eager=False)
     anchors = (
-        inner_norm.where(F.length("inner_norm") >= anchor_len)
-        .select("inner_id", "inner_norm", winnow(F.col("inner_norm")).alias("fp"))
-        .select("inner_id", "inner_norm", F.explode("fp.anchors").alias("wh"))
+        searchable.select("inner_id", winnow(F.col("inner_norm")).alias("fp"))
+        .select("inner_id", F.explode("fp.anchors").alias("wh"))
     )
     index = (
         # an outer shorter than anchor_len cannot contain any inner
@@ -1142,11 +1160,13 @@ def substring_containment_bipartite(
     )
     cand = (
         anchors.join(index, "wh")
-        .select("inner_id", "outer_id", "inner_norm")
+        .select("inner_id", "outer_id")
         .dropDuplicates(["inner_id", "outer_id"])
     )
-    verified = cand.join(outer_norm, "outer_id").where(
-        F.expr("locate(inner_norm, outer_norm) > 0")
+    verified = (
+        cand.join(searchable, "inner_id")
+        .join(outer_norm, "outer_id")
+        .where(F.expr("locate(inner_norm, outer_norm) > 0"))
     )
     return verified.select("inner_id", "outer_id")
 

@@ -54,9 +54,19 @@ def _is_star_forest(edges: DataFrame) -> bool:
     label extraction.  Cost: one count-aggregation + limit-1 job over the
     (checkpointed) edge set per round.
     """
-    sides = edges.select(F.col("a").alias("n"), F.lit(1).alias("ia")).unionAll(
-        edges.select(F.col("b").alias("n"), F.lit(0).alias("ia"))
-    )
+    # ONE scan of the edge set: explode each edge into its two (node, side)
+    # rows inside the same task.  The two-legged union formulation read the
+    # edges twice — and with the lazy per-round checkpoints both legs can
+    # race to compute a not-yet-cached partition, paying the reduce-side
+    # canonicalization twice on the round's first (materializing) job.
+    sides = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("n"), F.lit(1).alias("ia")),
+                F.struct(F.col("b").alias("n"), F.lit(0).alias("ia")),
+            )
+        ).alias("s")
+    ).select("s.n", "s.ia")
     viol = (
         sides.groupBy("n")
         .agg(F.sum("ia").alias("na"), F.sum(1 - F.col("ia")).alias("nb"))
@@ -67,9 +77,15 @@ def _is_star_forest(edges: DataFrame) -> bool:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each u: connect every strictly-larger neighbor to min(Γ(u) ∪ {u})."""
-    g = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
-        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    )
+    # symmetrize in one scan (explode, not self-union — see _is_star_forest)
+    g = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
     m = g.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
     bigger = g.where(F.col("v") > F.col("u")).join(m, "u")
     return _canonical_undirected(bigger.select(F.col("v").alias("u"), F.col("m").alias("v")))
@@ -120,9 +136,21 @@ def connected_components(
 
     # Fixed point is a union of stars: 'a' (hi) members point at 'b' = center.
     # A center can appear on the 'b' side only.
-    members = cur.select(F.col("a").alias(NODE), F.col("b").alias(COMPONENT))
-    centers = cur.select(F.col("b").alias(NODE), F.col("b").alias(COMPONENT))
-    labels = members.unionAll(centers).groupBy(NODE).agg(F.min(COMPONENT).alias(COMPONENT))
+    # one scan: each star edge yields its member row and its center row
+    # (explode, not a two-legged self-union — see _is_star_forest)
+    labels = (
+        cur.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias(NODE), F.col("b").alias(COMPONENT)),
+                    F.struct(F.col("b").alias(NODE), F.col("b").alias(COMPONENT)),
+                )
+            ).alias("m")
+        )
+        .select(f"m.{NODE}", f"m.{COMPONENT}")
+        .groupBy(NODE)
+        .agg(F.min(COMPONENT).alias(COMPONENT))
+    )
     if nodes is not None:
         nc = nodes.columns[0]
         singletons = nodes.select(F.col(nc).alias(NODE)).join(

@@ -90,27 +90,90 @@ def _emit_suffixes(
     text_col: str,
     id_col: str,
 ) -> DataFrame:
+    """Truncated-suffix emission as a ``mapInArrow`` pass that builds the
+    Arrow binary column DIRECTLY from numpy buffers.
+
+    A doc of n normalized bytes emits n - min_len + 1 suffix rows; the
+    previous formulation sliced each row in a per-position Python loop and
+    handed pandas an object array (one Python bytes object + one
+    element-wise Arrow conversion per row — the dominant cost of the emit
+    stage, which is itself the pass's dominant narrow stage).  Here the
+    full-width windows are materialized with ONE vectorized
+    ``sliding_window_view(...).ravel()`` copy per doc straight into the
+    Arrow values buffer, the (< truncate) tail suffixes with a bounded
+    per-doc loop, and the offsets array via one ``cumsum`` — zero
+    per-row Python objects.  Output batches are flushed at ~64 MB so the
+    int32 Arrow offsets can never overflow and worker memory stays
+    bounded regardless of document sizes.
+    """
+    import pyarrow as pa
+
     from ..functions.normalize import py_normalize
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            suffs, ids = [], []
+    tgt_bytes = 64 << 20
+
+    def run(batches):
+        for batch in batches:
+            pdf = batch.to_pandas()
+            vals: list = []  # uint8 pieces of the Arrow values buffer
+            lens: list = []  # int32 per-row lengths
+            rids: list = []  # int64 doc_id per row
+            acc = 0
+
+            def flush():
+                nonlocal vals, lens, rids, acc
+                if not lens:
+                    return None
+                values = np.concatenate(vals)
+                lengths = np.concatenate(lens)
+                offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
+                np.cumsum(lengths, out=offsets[1:])
+                suff = pa.Array.from_buffers(
+                    pa.binary(),
+                    len(lengths),
+                    [None, pa.py_buffer(offsets), pa.py_buffer(values)],
+                )
+                ids_arr = pa.array(np.concatenate(rids), type=pa.int64())
+                out = pa.RecordBatch.from_arrays(
+                    [suff, ids_arr], ["suff", "doc_id"]
+                )
+                vals, lens, rids, acc = [], [], [], 0
+                return out
+
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                b = py_normalize(text, cfg).encode("utf-8")
+                b = np.frombuffer(
+                    py_normalize(text, cfg).encode("utf-8"), dtype=np.uint8
+                )
                 n = len(b)
-                for i in range(n - min_len + 1):
-                    suffs.append(b[i : i + truncate])
-                    ids.append(did)
-            yield pd.DataFrame(
-                {
-                    "suff": pd.Series(suffs, dtype=object),
-                    "doc_id": np.asarray(ids, dtype=np.int64),
-                }
-            )
+                m = n - min_len + 1
+                if m <= 0:
+                    continue
+                f = max(0, n - truncate + 1)  # full-width window count
+                doc_lens = np.empty(m, dtype=np.int32)
+                if f > 0:
+                    vals.append(
+                        np.lib.stride_tricks.sliding_window_view(b, truncate)[
+                            :f
+                        ].ravel()
+                    )
+                    doc_lens[:f] = truncate
+                for i in range(f, m):  # <= truncate - min_len short tails
+                    vals.append(b[i:])
+                    doc_lens[i] = n - i
+                lens.append(doc_lens)
+                rids.append(np.full(m, did, dtype=np.int64))
+                acc += int(doc_lens.sum(dtype=np.int64))
+                if acc >= tgt_bytes:
+                    out = flush()
+                    if out is not None:
+                        yield out
+            out = flush()
+            if out is not None:
+                yield out
 
-    return docs.select(id_col, text_col).mapInPandas(run, _SUFF_SCHEMA)
+    return docs.select(id_col, text_col).mapInArrow(run, _SUFF_SCHEMA)
 
 
 def _partition_sorted(

@@ -150,8 +150,13 @@ def curate_pages(
     # Same null-ts hardening as url_dedup: struct comparison sorts NULL
     # first, so without the far-future sentinel a page whose WARC-Date
     # failed to parse would beat every real earliest crawl.
-    joined = labels.join(kept, "url")
-    canon = joined.groupBy("component").agg(
+    # The election DECIDES on (url, warc_ts) alone, so it runs over a slim
+    # projection — the previous shape joined the full kept rows first and
+    # shipped every page's text through the url shuffle to keep one row
+    # per cluster.  Winners (one url per cluster) join back to the cached
+    # kept table, so page payloads move once, for winners only.
+    slim = labels.join(kept.select("url", "warc_ts"), "url")
+    canon = slim.groupBy("component").agg(
         F.min(
             F.struct(
                 F.coalesce(
@@ -162,10 +167,9 @@ def curate_pages(
             )
         ).alias("_c")
     )
-    curated = (
-        joined.join(canon, "component")
-        .where(F.col("url") == F.col("_c.url"))
-        .select("url", "warc_ts", "text", "lang", "component")
+    winners = canon.select(F.col("_c.url").alias("url"), "component")
+    curated = winners.join(kept, "url").select(
+        "url", "warc_ts", "text", "lang", "component"
     )
     counters["n_curated"] = counters["n_clusters"]  # one winner per cluster
 

@@ -73,14 +73,13 @@ def gopher_filter(
     """Adds ``n_words``, ``drop_reasons`` (sorted array<string>, empty =
     clean) and ``kept`` (boolean) to ``df``.
 
-    Plan shape: the word/line screens are scalar Catalyst expressions on
-    the text column (narrow, whole-stage codegen); the repetition family
-    joins in from ``repetition_stats``'s relational explode+agg pass —
-    one shuffle keyed by ``id_col``, no skewed-key windows.  At 100 TB the
-    whole filter is a map pass plus one partial-aggregated shuffle.
+    Plan shape: ONE narrow ``mapInPandas`` pass computes the word/line
+    screens AND the full repetition family per doc (the screens ride the
+    stats kernel's ``extra`` hook, sharing its tokenization); the
+    threshold flags are scalar Catalyst expressions over the returned
+    integer/double stats.  Zero joins, zero shuffles, one Python boundary
+    crossing of the document text — the whole gate is a map at 100 TB.
     """
-    from .text_stats import repetition_stats
-
     th = dict(GOPHER_THRESHOLDS)
     unknown = sorted(set(thresholds or {}) - set(th))
     if unknown:
@@ -91,88 +90,68 @@ def gopher_filter(
         )
     th.update(thresholds or {})
 
-    # The seven scalar screens run in ONE vectorized Arrow pass.  They were
-    # first written as Catalyst higher-order-function lambdas; HOFs are
-    # INTERPRETED and projection collapse inlines the whole tree into every
-    # downstream use (drop_reasons, kept, any pushed filter) with no
-    # common-subexpression elimination — a `.where(kept)` re-evaluated the
-    # screens ~4x (measured 6 -> 44 s at sf0.1).  A Python UDF is extracted
-    # into its own ArrowEvalPython node, deduplicated, and evaluated ONCE —
-    # the barrier makes downstream predicate shape irrelevant.  (Interpreted
-    # HOF kill #7; see the module-level perf notes in BASELINE.md.)
-    screens_type = (
-        "n_words int, mean_wl double, symbol_ratio double, alpha_frac double,"
-        " stop_hits int, bullet_frac double, ellipsis_frac double"
-    )
-    word_re = re.compile(r"\s+")
+    # The seven scalar screens run INSIDE the repetition-stats pass.  Two
+    # earlier shapes were measured and replaced: Catalyst HOF lambdas
+    # (INTERPRETED; projection collapse re-evaluated the screen tree ~4x —
+    # 6 -> 44 s at sf0.1), then a separate ArrowEvalPython pandas UDF
+    # chained before the stats MapInPandas — one evaluation each, but the
+    # document text crossed the JVM->Python boundary TWICE and was
+    # whitespace-split twice.  The stats kernel's ``extra`` hook (see
+    # _repetition_stats_fast) computes the screens from the word list and
+    # line Counter that kernel already builds: one Python pass, one text
+    # transfer, one tokenization — and still a single evaluation barrier,
+    # so downstream predicate shape remains irrelevant.
+    from .text_stats import _repetition_stats_fast
+
+    from pyspark.sql.types import DoubleType, IntegerType, StructField
+
     alpha_re = re.compile(r"[A-Za-z]")
-    sep = line_sep
     stops = frozenset(_STOPS)
     bullets = tuple(_BULLETS)
+    screen_fields = [
+        StructField("n_words", IntegerType(), True),
+        StructField("_mean_wl", DoubleType(), True),
+        StructField("_symbol_ratio", DoubleType(), True),
+        StructField("_alpha_frac", DoubleType(), True),
+        StructField("_stop_hits", IntegerType(), True),
+        StructField("_bullet_frac", DoubleType(), True),
+        StructField("_ellipsis_frac", DoubleType(), True),
+    ]
 
-    @F.pandas_udf(screens_type)
-    def _screens(texts):  # pd.Series[str] -> pd.DataFrame
-        import pandas as pd
-
-        rows = []
-        for t in texts:
-            t = t or ""
-            words = [w for w in word_re.split(t) if w]
-            n = len(words)
-            d = max(n, 1)
-            lines = [ln for ln in (x.strip(" ") for x in t.split(sep)) if ln]
-            nl = max(len(lines), 1)
-            rows.append(
-                (
-                    n,
-                    sum(map(len, words)) / d,
-                    (t.count("#") + t.count("...")) / d,
-                    sum(1 for w in words if alpha_re.search(w)) / d,
-                    len({w.lower() for w in words} & stops),
-                    sum(1 for ln in lines if ln.startswith(bullets)) / nl,
-                    sum(1 for ln in lines if ln.endswith("...") or ln.endswith("…"))
-                    / nl,
-                )
-            )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "n_words", "mean_wl", "symbol_ratio", "alpha_frac",
-                "stop_hits", "bullet_frac", "ellipsis_frac",
-            ],
+    def _screens(t, ws, lc):
+        # identical formulas (and identical float math) to the former
+        # standalone screens UDF; ws/lc come pre-tokenized from the kernel
+        n = len(ws)
+        d = max(n, 1)
+        nl = max(sum(lc.values()), 1)
+        return (
+            n,
+            sum(map(len, ws)) / d,
+            (t.count("#") + t.count("...")) / d,
+            sum(1 for w in ws if alpha_re.search(w)) / d,
+            len({w.lower() for w in ws} & stops),
+            sum(c for ln, c in lc.items() if ln.startswith(bullets)) / nl,
+            sum(
+                c for ln, c in lc.items()
+                if ln.endswith("...") or ln.endswith("…")
+            ) / nl,
         )
 
-    base = (
-        df.withColumn("_s", _screens(F.col(text_col)))
-        .withColumn("n_words", F.col("_s.n_words"))
-        .withColumn("_mean_wl", F.col("_s.mean_wl"))
-        .withColumn("_symbol_ratio", F.col("_s.symbol_ratio"))
-        .withColumn("_alpha_frac", F.col("_s.alpha_frac"))
-        .withColumn("_stop_hits", F.col("_s.stop_hits"))
-        .withColumn("_bullet_frac", F.col("_s.bullet_frac"))
-        .withColumn("_ellipsis_frac", F.col("_s.ellipsis_frac"))
-        .drop("_s")
-    )
-
-    # passthrough=True: the repetition pass carries the document row (and
-    # the screen columns) straight through its map stage, so the stats are
-    # attached with NO join — the previous ``base.join(rep, id)`` shuffled
-    # the full document payload by id twice just to meet 11 doubles
-    # computed from that same payload.  The whole gate is now two chained
-    # narrow Python passes (ArrowEvalPython screens + MapInPandas stats).
     rep_cols = [
         "dup_line_frac", "dup_line_char_frac",
         "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
         "dup_5gram_char_frac", "dup_6gram_char_frac", "dup_7gram_char_frac",
         "dup_8gram_char_frac", "dup_9gram_char_frac", "dup_10gram_char_frac",
     ]
-    joined = repetition_stats(
-        base, text_col=text_col, id_col=id_col, line_sep=line_sep,
-        passthrough=True,
+    screen_names = [f.name for f in screen_fields]
+    joined = _repetition_stats_fast(
+        df, text_col, id_col, line_sep, (2, 3, 4), (5, 6, 7, 8, 9, 10),
+        passthrough=True, extra=(screen_fields, _screens),
     ).select(
         # replicate the former join's column order exactly: join key first,
         # then the remaining document/screen columns, then the stat columns
-        id_col, *[c for c in base.columns if c != id_col], *rep_cols
+        id_col, *[c for c in df.columns if c != id_col],
+        *screen_names, *rep_cols
     )
 
     def _flag(cond, name):

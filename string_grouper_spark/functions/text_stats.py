@@ -129,13 +129,24 @@ def _repetition_stats_fast(
     top_ns,
     dup_ns,
     passthrough: bool,
+    extra=None,
 ) -> DataFrame:
     """The one-pass fast engine behind ``repetition_stats`` (see its
     docstring): ONE ``mapInPandas`` row per doc carrying exact integer
     line stats plus per-order gram stats as 9-element arrays (null element
     where the doc has fewer words than the order, mirroring the catalyst
     pivot's missing-row null), all divisions/rounding left in Spark for
-    bit parity with the relational engine."""
+    bit parity with the relational engine.
+
+    ``extra``: optional ``(fields, fn)`` — extra per-doc columns computed
+    INSIDE the same pass.  ``fields`` is a list of StructField; ``fn(t,
+    ws, lc)`` receives the doc text (already None-coerced to ''), its
+    whitespace-split word list and its stripped-non-empty-line Counter —
+    the tokenization this kernel computes anyway — and returns one value
+    per field.  This is how ``gopher_filter`` fuses its word/line screens
+    into the stats pass: the document text crosses the Python boundary
+    ONCE and is split ONCE, instead of paying a second ArrowEvalPython
+    round-trip + re-tokenization for the screens."""
     from collections import Counter
 
     import pandas as pd
@@ -148,8 +159,10 @@ def _repetition_stats_fast(
         "_n_lines", "_n_distinct", "_dup_chars", "_tot_chars",
         "_top_cnt", "_top_l", "_tot_ch", "_dup_ch", "_n_grams",
     )
+    extra_fields, extra_fn = extra if extra is not None else ([], None)
+    extra_names = [f.name for f in extra_fields]
     in_df = df if passthrough else df.select(id_col, text_col)
-    clash = set(stat_names) & set(in_df.columns)
+    clash = (set(stat_names) | set(extra_names)) & set(in_df.columns)
     if clash:
         raise ValueError(f"passthrough column(s) {sorted(clash)} collide "
                          "with repetition_stats internals")
@@ -163,11 +176,13 @@ def _repetition_stats_fast(
         out_fields
         + [StructField(n, LongType(), True) for n in stat_names[:4]]
         + [StructField(n, ArrayType(LongType()), True) for n in stat_names[4:]]
+        + list(extra_fields)
     )
 
     def _doc_stats(batches):
         for pdf in batches:
             out = {n: [] for n in stat_names}
+            extra_out = {n: [] for n in extra_names}
             for text in pdf[text_col]:
                 t = text if isinstance(text, str) else ""
                 # line stats: literal split, single-space trim, char
@@ -216,9 +231,14 @@ def _repetition_stats_fast(
                     cols["_n_grams"].append(ng)
                 for n in stat_names[4:]:
                     out[n].append(cols[n])
+                if extra_fn is not None:
+                    for name, v in zip(extra_names, extra_fn(t, ws, lc)):
+                        extra_out[name].append(v)
             res = pdf.copy() if passthrough else pdf[[id_col]].copy()
             for n in stat_names:
                 res[n] = pd.Series(out[n], index=pdf.index, dtype=object)
+            for n in extra_names:
+                res[n] = pd.Series(extra_out[n], index=pdf.index, dtype=object)
             yield res
 
     stats = in_df.mapInPandas(_doc_stats, schema)
@@ -259,6 +279,7 @@ def _repetition_stats_fast(
             )
             for n in dup_ns
         ],
+        *[F.col(n) for n in extra_names],
     )
 
 

@@ -270,15 +270,19 @@ def test_suffix_array_is_one_range_exchange(spark, docs):
 
 
 def test_gopher_filter_evaluates_screens_once(spark, docs):
-    # the seven scalar screens live behind ONE ArrowEvalPython barrier:
-    # projection collapse must not re-inline them per downstream use
-    # (the HOF formulation re-evaluated ~4x under .where(kept) —
-    # measured 44 s vs 3 s at sf0.1)
+    # the seven scalar screens are FUSED into the repetition-stats
+    # MapInPandas kernel (the `extra` hook): the whole gate is exactly ONE
+    # Python evaluation node, and projection collapse must not re-inline
+    # anything per downstream use (the original HOF formulation
+    # re-evaluated the screens ~4x under .where(kept) — measured 44 s vs
+    # 3 s at sf0.1; the intermediate two-node shape paid a second text
+    # transfer + tokenization)
     from string_grouper_spark.functions.gopher import gopher_filter
 
     df = gopher_filter(docs.limit(50)).where(F.col("kept"))
     plan = plan_of(df)
-    assert plan.count("ArrowEvalPython") == 1, plan
+    assert plan.count("MapInPandas") == 1, plan
+    assert "ArrowEvalPython" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
 
 
